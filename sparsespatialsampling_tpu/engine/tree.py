@@ -1,0 +1,684 @@
+"""TPU-native metric-driven quadtree/octree refinement engine.
+
+Re-designed from scratch against the behavioral contract of the reference
+``SamplingTree`` (``sparseSpatialSampling/s_cube.py:86-667``), with a
+fundamentally different representation:
+
+===============================  =============================================
+reference (CPU, pointer tree)    this engine (TPU, flat lattice arrays)
+===============================  =============================================
+``Cell`` objects, ``nb`` lists   SoA numpy arrays: ``coords [N,d] int64``,
+wired by 280-line relation       ``level [N]``, ``alive [N]``, ``gain [N]``,
+tables (s_cube.py:904-1186)      ``metric [N]`` — neighbors/corners are
+                                 integer arithmetic on the implicit lattice
+node dedup via 350-line case     corner keys on the depth-D node lattice +
+analysis (s_cube.py:1188-1537)   one ``np.unique`` (ops/morton.py)
+sklearn KD-tree + mp.Pool per    exact k-NN as tiled MXU matmuls on device
+iteration (s_cube.py:161,234)    (ops/knn.py), batched per epoch
+captured metric re-predicted     per-leaf metric cached at creation (the
+over ALL leaves per iteration    prediction is deterministic); captured
+(s_cube.py:317-336)              metric is one reduction over alive leaves
+per-cell geometry checks in a    vectorized jnp predicates over all candidate
+process pool (s_cube.py:705)     cells' corners, one jitted call per epoch
+===============================  =============================================
+
+Host Python drives the refinement epochs (the stopping criterion is
+inherently sequential); all heavy numerics (k-NN, geometry masks, reductions)
+run on the accelerator with bucketed static shapes.
+"""
+import logging
+import operator
+from functools import reduce
+from time import time
+from typing import Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.knn import KNNIndex
+from ..ops import morton
+
+logger = logging.getLogger(__name__)
+
+# child-center direction order of the reference (``s_cube.py:188-194``); kept
+# so faces / centers are emitted in the identical corner order
+DIRECTIONS = {
+    2: np.asarray([[-1, -1], [-1, 1], [1, 1], [1, -1]], dtype=np.float64),
+    3: np.asarray([[-1, -1, 1], [-1, 1, 1], [1, 1, 1], [1, -1, 1],
+                   [-1, -1, -1], [-1, 1, -1], [1, 1, -1], [1, -1, -1]],
+                  dtype=np.float64),
+}
+# equivalent lattice offsets in {0, 1}^d
+OFFSETS = {d: ((DIRECTIONS[d] + 1) // 2).astype(np.int64) for d in (2, 3)}
+
+
+def _bucket(n: int, minimum: int = 512) -> int:
+    """Round up to a power of two (bounds the number of jit recompiles)."""
+    return max(minimum, 1 << int(n - 1).bit_length())
+
+
+class BatchedValidity:
+    """Jitted, bucket-padded evaluation of cell validity across geometries.
+
+    Replaces the reference's per-cell ``pool.map(_check_cell_validity, ...)``
+    (``s_cube.py:705-707``, ``:1816-1837``) with one fused device kernel: a
+    cell is invalid if ANY geometry flags it.
+    """
+
+    def __init__(self, geometries, refine_geometry: bool = False):
+        self._geometries = list(geometries)
+        self._refine_geometry = refine_geometry
+
+        def fn(nodes):
+            flags = [g.check_cells(nodes, refine_geometry) for g in self._geometries]
+            return reduce(operator.or_, flags)
+
+        self._fn = jax.jit(fn)
+
+    def __call__(self, nodes: np.ndarray) -> np.ndarray:
+        """``nodes [M, 2^d, d]`` (host) → bool ``[M]`` (host)."""
+        m = nodes.shape[0]
+        if m == 0:
+            return np.zeros(0, dtype=bool)
+        mp = _bucket(m)
+        padded = np.zeros((mp,) + nodes.shape[1:], dtype=np.float32)
+        padded[:m] = nodes
+        return np.asarray(self._fn(jnp.asarray(padded)))[:m]
+
+
+class SamplingTree:
+    """Generate a metric-based adaptive grid from a CFD point cloud.
+
+    Constructor signature mirrors the reference ``SamplingTree.__init__``
+    (``s_cube.py:87-90``); ``n_jobs`` is accepted for drop-in compatibility
+    but ignored (there is no process pool — parallelism is the accelerator).
+    """
+
+    def __init__(self, vertices, target, geometry_obj: list, n_cells: int = None,
+                 uniform_level: int = 5, min_metric: float = 0.75,
+                 max_delta_level: bool = False, n_cells_iter_start: int = None,
+                 n_cells_iter_end: int = None, n_jobs: int = None,
+                 relTol: Union[int, float] = 1e-3, reach_at_least: float = 0.75,
+                 pre_select: bool = False):
+        vertices = np.asarray(vertices, dtype=np.float64)
+        target = np.asarray(target, dtype=np.float64).squeeze()
+
+        self._pre_select = pre_select
+        self._max_delta_level = max_delta_level
+        self._geometry = geometry_obj
+        self._min_metric = min_metric
+        self._n_cells_max = n_cells
+        self._min_level = uniform_level
+        self._current_min_level = 0
+        self._current_max_level = 0
+        self._n_dimensions = vertices.shape[-1]
+        self._n_cells_orig = target.shape[0]
+
+        # number of cells refined per adaptive iteration: starts at 0.1 % of the
+        # original grid size (reference ``s_cube.py:147-156``)
+        self._cells_per_iter_start = (int(0.001 * vertices.shape[0])
+                                      if n_cells_iter_start is None else n_cells_iter_start)
+        if self._cells_per_iter_start <= 0:
+            self._cells_per_iter_start = 1
+        self._cells_per_iter_end = (self._cells_per_iter_start
+                                    if n_cells_iter_end is None else n_cells_iter_end)
+        self._cells_per_iter = self._cells_per_iter_start
+        self._cells_per_iter_last = 1e9
+        self._reach_at_least = reach_at_least
+
+        if relTol is None:
+            self._relTol = 1e-3 if n_cells is None else 10
+        else:
+            self._relTol = relTol
+
+        # k-NN regressor equivalent: k = 8 (2D) / 26 (3D), inverse-distance
+        # weights (reference ``s_cube.py:161-163``)
+        self._n_neighbors = 8 if self._n_dimensions == 2 else 26
+        self._knn = KNNIndex(vertices, values=target)
+
+        # geometry masking kernels (compiled lazily per shape bucket)
+        self._validity = BatchedValidity(self._geometry, refine_geometry=False)
+
+        # flat cell arrays (append-only; index == creation order == tie-break)
+        self._cap = 4096
+        d = self._n_dimensions
+        self._coords = np.zeros((self._cap, d), dtype=np.int64)
+        self._level = np.zeros(self._cap, dtype=np.int32)
+        self._alive = np.zeros(self._cap, dtype=bool)
+        self._metric_arr = np.zeros(self._cap, dtype=np.float64)
+        self._gain = np.zeros(self._cap, dtype=np.float64)
+        self._n_cells = 0  # number of created cells
+
+        self._offsets = OFFSETS[d]
+        self._dirs = DIRECTIONS[d]
+        self._max_depth = morton.MAX_DEPTH[d]
+
+        # refinement telemetry (mirrors reference bookkeeping)
+        self._metric = []       # captured-metric history
+        self._n_cells_log = []  # leaf-count history
+        self._n_cells_after_uniform = None
+        self.data_final_mesh = {}
+        self._times = {"t_start_uniform": 0.0, "t_end_uniform": 0.0,
+                       "t_start_adaptive": 0.0, "t_start_geometry": 0.0,
+                       "t_end_geometry": 0.0, "t_start_renumber": 0.0,
+                       "t_end_renumber": 0.0}
+
+        # outputs
+        self.all_nodes = None
+        self.all_centers = None
+        self.all_levels = None
+        self.face_ids = None
+
+        # root cell geometry: cube of edge ``main_width`` centered on the
+        # domain geometry (reference ``_create_first_cell``, s_cube.py:338-397)
+        self._width = None
+        middle = None
+        for g in self._geometry:
+            if g.keep_inside:
+                self._width = float(g.main_width)
+                middle = np.asarray(g.center, dtype=np.float64)
+            if np.asarray(g.center).shape[0] != d:
+                raise ValueError(
+                    f"The number of dimensions for geometry object '{g.name}' with dim = "
+                    f"{np.asarray(g.center).shape[0]} is not matching the number of dimensions "
+                    f"within the CFD grid with dim = {d}.")
+        if middle is None:
+            raise ValueError("No GeometryObject with 'keep_inside=True', representing the "
+                             "numerical domain, was found.")
+        self._lo = middle - 0.5 * self._width  # lattice origin
+
+        self._target_norm = float(np.linalg.norm(target))
+        self._print_settings()
+        self._create_first_cell(middle)
+
+    # ------------------------------------------------------------------ #
+    # lattice helpers                                                     #
+    # ------------------------------------------------------------------ #
+    def _centers_of(self, coords: np.ndarray, level: np.ndarray) -> np.ndarray:
+        """Cell centers ``lo + (coords + 0.5) * width / 2^level`` (float64)."""
+        h = self._width / np.exp2(level.astype(np.float64))[:, None]
+        return self._lo + (coords.astype(np.float64) + 0.5) * h
+
+    def _nodes_of(self, coords: np.ndarray, level: np.ndarray) -> np.ndarray:
+        """Corner nodes ``[M, 2^d, d]`` in the reference direction order."""
+        h = self._width / np.exp2(level.astype(np.float64))[:, None, None]
+        corner = coords[:, None, :] + self._offsets[None, :, :]
+        return self._lo + corner.astype(np.float64) * h
+
+    def _gain_query_centers(self, coords: np.ndarray, level: np.ndarray) -> np.ndarray:
+        """Own center + the 2^d prospective child centers ``[M, 1+2^d, d]``."""
+        centers = self._centers_of(coords, level)
+        h = self._width / np.exp2(level.astype(np.float64))[:, None, None]
+        children = centers[:, None, :] + self._dirs[None, :, :] * 0.25 * h
+        return np.concatenate([centers[:, None, :], children], axis=1)
+
+    # ------------------------------------------------------------------ #
+    # cell bookkeeping                                                    #
+    # ------------------------------------------------------------------ #
+    def _grow(self, needed: int) -> None:
+        if self._n_cells + needed <= self._cap:
+            return
+        new_cap = self._cap
+        while self._n_cells + needed > new_cap:
+            new_cap *= 2
+        for name in ("_coords", "_level", "_alive", "_metric_arr", "_gain"):
+            old = getattr(self, name)
+            new = np.zeros((new_cap,) + old.shape[1:], dtype=old.dtype)
+            new[:self._n_cells] = old[:self._n_cells]
+            setattr(self, name, new)
+        self._cap = new_cap
+
+    def _append_cells(self, coords: np.ndarray, level: np.ndarray) -> np.ndarray:
+        m = coords.shape[0]
+        self._grow(m)
+        sl = slice(self._n_cells, self._n_cells + m)
+        self._coords[sl] = coords
+        self._level[sl] = level
+        self._alive[sl] = True
+        self._n_cells += m
+        return np.arange(sl.start, sl.stop)
+
+    def _alive_idx(self) -> np.ndarray:
+        return np.nonzero(self._alive[:self._n_cells])[0]
+
+    # ------------------------------------------------------------------ #
+    # root cell                                                           #
+    # ------------------------------------------------------------------ #
+    def _create_first_cell(self, middle: np.ndarray) -> None:
+        d = self._n_dimensions
+        queries = np.concatenate(
+            [middle[None, :], middle[None, :] + self._dirs * 0.25 * self._width], axis=0)
+        pred = np.asarray(self._knn.predict(queries, self._n_neighbors), dtype=np.float64)
+
+        # gain of the initial cell (level 0): (width/2)^d * sum |m0 - m_child|
+        # (reference ``s_cube.py:374-381``); used as the gain normalizer
+        gain0 = (self._width / 2.0) ** d * np.abs(pred[0] - pred[1:]).sum()
+        if abs(gain0) < 1e-6:
+            gain0 = 1.0
+        self._gain0 = float(gain0)
+
+        idx = self._append_cells(np.zeros((1, d), dtype=np.int64),
+                                 np.zeros(1, dtype=np.int32))
+        self._metric_arr[idx] = pred[0]
+        self._gain[idx] = self._gain0
+
+    # ------------------------------------------------------------------ #
+    # per-epoch numerics                                                  #
+    # ------------------------------------------------------------------ #
+    def _update_gain(self, idx: np.ndarray) -> None:
+        """Predict the metric at each new cell's center and its prospective
+        child centers, then evaluate the gain formula
+        ``1/2^d * (width / 2^level)^d * Σ|m0 - m_i| / gain0``
+        (reference ``s_cube.py:207-241``, ``:1840-1859``)."""
+        if idx.size == 0:
+            return
+        d = self._n_dimensions
+        q = self._gain_query_centers(self._coords[idx], self._level[idx])
+        m = q.shape[1]
+        pred = np.asarray(self._knn.predict(q.reshape(-1, d), self._n_neighbors),
+                          dtype=np.float64).reshape(-1, m)
+        sum_delta = np.abs(pred[:, [0]] - pred[:, 1:]).sum(axis=1)
+        lvl = self._level[idx].astype(np.float64)
+        self._gain[idx] = ((self._width / np.exp2(lvl)) ** d
+                           * sum_delta / (2 ** d) / self._gain0)
+        self._metric_arr[idx] = pred[:, 0]
+
+    def _remove_invalid_cells(self, idx: np.ndarray) -> None:
+        """Mask out newly created cells inside geometries / outside the domain
+        (reference ``_remove_invalid_cells``, s_cube.py:669-732)."""
+        if idx.size == 0:
+            return
+        nodes = self._nodes_of(self._coords[idx], self._level[idx])
+        invalid = self._validity(nodes)
+        dead = idx[invalid]
+        self._alive[dead] = False
+        self._gain[dead] = 0.0
+
+    def _find_surface_cells(self, idx: np.ndarray, geometry) -> np.ndarray:
+        """Leaf cells in the vicinity of one geometry's surface
+        (reference ``_remove_invalid_cells(..., _refine_geometry=True)``)."""
+        if idx.size == 0:
+            return idx
+        checker = BatchedValidity([geometry], refine_geometry=True)
+        nodes = self._nodes_of(self._coords[idx], self._level[idx])
+        return idx[checker(nodes)]
+
+    def _captured_metric(self) -> float:
+        """Captured fraction = ||metric at alive leaf centers||₂ / ||target||₂.
+
+        The per-leaf predictions are cached at creation (they are deterministic
+        for a static point cloud), so this is one reduction instead of the
+        reference's full re-prediction over all leaves per iteration
+        (``s_cube.py:317-336``)."""
+        alive = self._alive_idx()
+        ratio = float(np.sqrt(np.square(self._metric_arr[alive]).sum()) / self._target_norm)
+        self._metric.append(ratio)
+        return ratio
+
+    # ------------------------------------------------------------------ #
+    # refinement driver                                                   #
+    # ------------------------------------------------------------------ #
+    def _split(self, parents: np.ndarray) -> np.ndarray:
+        """Split parent cells into 2^d children; returns new cell indices."""
+        if parents.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        d = self._n_dimensions
+        child_coords = (self._coords[parents][:, None, :] * 2
+                        + self._offsets[None, :, :]).reshape(-1, d)
+        child_level = np.repeat(self._level[parents] + 1, 2 ** d)
+        self._alive[parents] = False
+        new_idx = self._append_cells(child_coords, child_level)
+        self._current_max_level = max(self._current_max_level, int(child_level.max()))
+        return new_idx
+
+    def _refine_uniform(self) -> None:
+        """Uniform background refinement (reference ``s_cube.py:508-561``);
+        gains are computed once at the end — every leaf after the final sweep
+        was created in it, so batch-computing then is equivalent to the
+        reference's per-sweep updates."""
+        logger.info("Starting uniform refinement.")
+        self._times["t_start_uniform"] = time()
+        for j in range(self._min_level):
+            leaves = self._alive_idx()
+            logger.info(f"\tStarting iteration no. {j}, N_cells = {leaves.size}")
+            children = self._split(leaves)
+            self._remove_invalid_cells(children)
+            self._current_min_level += 1
+        self._update_gain(self._alive_idx())
+        logger.info("Finished uniform refinement.")
+        self._times["t_end_uniform"] = time()
+
+    def _check_stopping_criteria(self) -> bool:
+        """Mirror of reference ``_check_stopping_criteria`` (s_cube.py:263-284)."""
+        if self._n_cells_max is None:
+            if len(self._metric) > 1 and self._metric[-1] / self._min_metric >= self._reach_at_least:
+                return (self._metric[-1] < self._min_metric
+                        and abs(self._metric[-1] - self._metric[-2]) > self._relTol)
+        else:
+            n_leaves = int(self._alive.sum())
+            if n_leaves / self._n_cells_max >= self._reach_at_least:
+                rel_stop = abs(self._cells_per_iter / self._n_cells_max
+                               - self._cells_per_iter_last / self._n_cells_max)
+                return n_leaves < self._n_cells_max and rel_stop > self._relTol
+        return True
+
+    def _compute_n_cells_per_iter(self) -> None:
+        """Linear ramp of the per-iteration refinement budget
+        (reference ``s_cube.py:286-315``)."""
+        if self._n_cells_max is None:
+            delta_x = self._min_metric - self._metric[0]
+            current_x = self._metric[-1]
+        else:
+            delta_x = self._n_cells_max - self._n_cells_after_uniform
+            current_x = int(self._alive.sum())
+        delta_y = self._cells_per_iter_start - self._cells_per_iter_end
+        new = self._cells_per_iter_start - (delta_y / delta_x) * current_x
+        self._cells_per_iter_last = self._cells_per_iter
+        self._cells_per_iter = int(new) if new > 1 else 1
+
+    def _select_top_k(self, k: int) -> np.ndarray:
+        """Exact top-k leaves by ``(gain desc, creation index asc)`` — the
+        reference's ``heapq.nlargest(..., key=(gain, -idx))`` tie-break
+        (``s_cube.py:599-602``) without the O(N log N) heap."""
+        alive = self._alive_idx()
+        if k >= alive.size:
+            return alive
+        g = self._gain[alive]
+        part = np.argpartition(-g, k - 1)[:k]
+        thr = g[part].min()
+        above = np.nonzero(g > thr)[0]
+        need = k - above.size
+        at_thr = np.nonzero(g == thr)[0][:need]  # alive is ascending => index order
+        return alive[np.concatenate([above, at_thr])]
+
+    # -- 2:1 level-difference constraint -------------------------------- #
+    def _build_leaf_lookup(self):
+        """Sorted Morton anchors of alive leaves for point-in-leaf queries."""
+        alive = self._alive_idx()
+        anchors = morton.anchor(self._coords[alive].astype(np.uint64),
+                                self._level[alive], self._max_depth)
+        order = np.argsort(anchors)
+        return alive[order], anchors[order]
+
+    def _expand_delta_level(self, selected: np.ndarray) -> np.ndarray:
+        """Transitively add lower-level leaf neighbors that would violate the
+        max-delta-level-of-one constraint (reference ``_check_nb`` +
+        ``_check_constraint``, s_cube.py:447-506)."""
+        d = self._n_dimensions
+        # all 3^d - 1 neighbor directions (includes diagonals, like the
+        # reference's 8/26 nb slots)
+        dirs = np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d), indexing="ij"),
+                        axis=-1).reshape(-1, d)
+        dirs = dirs[~(dirs == 0).all(axis=1)].astype(np.int64)
+
+        leaf_sorted, anchors_sorted = self._build_leaf_lookup()
+        leaf_sizes = morton.range_size(self._level[leaf_sorted], d, self._max_depth)
+
+        to_refine = set(selected.tolist())
+        frontier = np.asarray(sorted(to_refine), dtype=np.int64)
+        while frontier.size:
+            coords = self._coords[frontier]
+            level = self._level[frontier]
+            nb = coords[:, None, :] + dirs[None, :, :]           # [F, n_dirs, d]
+            nb_level = np.repeat(level[:, None], dirs.shape[0], axis=1)
+            inside = np.logical_and(nb >= 0, nb < (1 << nb_level[..., None])).all(-1)
+            nb_flat = nb.reshape(-1, d)[inside.ravel()]
+            lvl_flat = nb_level.ravel()[inside.ravel()]
+            if nb_flat.size == 0:
+                break
+            p = morton.anchor(nb_flat.astype(np.uint64), lvl_flat, self._max_depth)
+            pos = np.searchsorted(anchors_sorted, p, side="right") - 1
+            pos = np.clip(pos, 0, anchors_sorted.size - 1)
+            owner = leaf_sorted[pos]
+            contains = np.logical_and(
+                anchors_sorted[pos] <= p,
+                p - anchors_sorted[pos] < leaf_sizes[pos])
+            violates = contains & (self._level[owner] < lvl_flat)
+            new = set(owner[violates].tolist()) - to_refine
+            if not new:
+                break
+            to_refine |= new
+            frontier = np.asarray(sorted(new), dtype=np.int64)
+        return np.asarray(sorted(to_refine), dtype=np.int64)
+
+    def refine(self) -> None:
+        """Run the full grid generation (reference ``refine``, s_cube.py:563-667)."""
+        logger.info("Starting grid generation.")
+        self._refine_uniform()
+
+        iteration_count = 0
+        self._n_cells_after_uniform = int(self._alive.sum())
+        if self._n_cells_max is None:
+            self._captured_metric()
+        self._n_cells_log.append(int(self._alive.sum()))
+
+        logger.info("Starting metric-based refinement.")
+        self._times["t_start_adaptive"] = time()
+
+        while self._check_stopping_criteria():
+            if self._n_cells_max is None:
+                logger.info(f"\tStarting iteration no. {iteration_count}, captured metric: "
+                            f"{round(self._metric[-1] * 100, 2)} %, "
+                            f"N_cells = {int(self._alive.sum())}")
+            else:
+                logger.info(f"\tStarting iteration no. {iteration_count}, "
+                            f"N_cells = {int(self._alive.sum())}")
+
+            if len(self._metric) >= 2:
+                self._compute_n_cells_per_iter()
+
+            selected = self._select_top_k(min(self._cells_per_iter, self._n_cells))
+            if self._max_delta_level:
+                selected = self._expand_delta_level(selected)
+
+            children = self._split(selected)
+            self._update_gain(children)
+            self._remove_invalid_cells(children)
+
+            if self._n_cells_max is None:
+                self._captured_metric()
+            iteration_count += 1
+            self._n_cells_log.append(int(self._alive.sum()))
+
+        if self._n_cells_max is not None:
+            self._captured_metric()
+
+        logger.info("Finished metric-based refinement.")
+
+        self._refine_geometries()
+
+        self._update_min_ref_level()
+        self._resort_nodes_and_indices_of_grid()
+        self._create_mesh_info(iteration_count)
+        logger.info(self)
+
+        if self._n_cells_max is not None and self._metric[-1] > 1:
+            logger.info(
+                "Detected a captured metric > 100%. This means that the current number of "
+                "'n_cells_max' can be reduced without further loss of information for this "
+                "metric field, since the metric field is over-approximated.")
+
+    # ------------------------------------------------------------------ #
+    # geometry refinement                                                 #
+    # ------------------------------------------------------------------ #
+    def _refine_geometries(self) -> None:
+        geometries_to_refine = [i for i, g in enumerate(self._geometry) if g.refine]
+        if geometries_to_refine:
+            self._times["t_start_geometry"] = time()
+            self._execute_geometry_refinement(geometries_to_refine)
+            self._times["t_end_geometry"] = time()
+
+    def _execute_geometry_refinement(self, geometry_ids: list) -> None:
+        """Refine the grid near geometry surfaces level-by-level until the
+        target level (reference ``_execute_geometry_refinement``,
+        s_cube.py:774-863)."""
+        logger.info("Starting geometry refinement.")
+        for gi in geometry_ids:
+            g = self._geometry[gi]
+            logger.info(f"Starting refining geometry {g.name}.")
+            validity_g = BatchedValidity([g], refine_geometry=False)
+
+            surface = self._find_surface_cells(self._alive_idx(), g)
+            if surface.size == 0:
+                logger.warning("Could not find any cells to refine. "
+                               "Skipping geometry refinement.")
+                continue
+
+            gmin = int(self._level[surface].min())
+            if g.min_refinement_level is None:
+                gmax = int(self._level[surface].max())
+            else:
+                gmax = g.min_refinement_level
+            logger.info(f"Found a minimum cell level of {gmin}. Target level is {gmax}.")
+
+            while gmax > gmin:
+                logger.info(f"\tRefining level {gmin + 1} / {gmax}.")
+                to_refine = surface[self._level[surface] < gmax]
+                if self._max_delta_level and to_refine.size:
+                    to_refine = self._expand_delta_level(to_refine)
+                if to_refine.size == 0:
+                    break
+                children = self._split(to_refine)
+                self._update_gain(children)
+
+                # remove children invalid w.r.t. THIS geometry only (mirrors
+                # reference semantics, s_cube.py:850)
+                nodes = self._nodes_of(self._coords[children], self._level[children])
+                invalid = validity_g(nodes)
+                dead = children[invalid]
+                self._alive[dead] = False
+                self._gain[dead] = 0.0
+
+                valid_children = children[~invalid]
+                surface = self._find_surface_cells(valid_children, g)
+                gmin += 1
+
+        self._current_max_level = int(self._level[self._alive_idx()].max())
+        logger.info("Finished geometry refinement.")
+
+    # ------------------------------------------------------------------ #
+    # final assembly                                                      #
+    # ------------------------------------------------------------------ #
+    def _update_min_ref_level(self) -> None:
+        alive = self._alive_idx()
+        self._current_min_level = max(self._current_min_level, int(self._level[alive].min()))
+
+    def _resort_nodes_and_indices_of_grid(self) -> None:
+        """Emit the final grid: deduplicated node coordinates + faces.
+
+        Node identity is purely topological — corner keys on the integer node
+        lattice at depth ``D = max leaf level`` (exactly the guarantee of the
+        reference's case analysis, ``s_cube.py:1193-1196``) — so a single
+        ``np.unique`` replaces the reference's numba renumbering kernel
+        (``renumber_node_indices_parallel``, s_cube.py:1695-1736)."""
+        logger.info("Starting renumbering final mesh.")
+        self._times["t_start_renumber"] = time()
+
+        alive = self._alive_idx()
+        coords = self._coords[alive]
+        level = self._level[alive]
+        depth = int(level.max())
+        assert depth <= self._max_depth, \
+            f"Refinement depth {depth} exceeds the lattice limit {self._max_depth}."
+
+        keys = morton.node_keys(coords, level, self._offsets, depth)  # [N, 2^d]
+        unique_keys, inverse = np.unique(keys.ravel(), return_inverse=True)
+
+        idx_dtype = np.int32 if unique_keys.size < np.iinfo(np.int32).max else np.int64
+        self.face_ids = inverse.reshape(keys.shape).astype(idx_dtype)
+
+        node_coords = morton.decode_node_keys(unique_keys, self._n_dimensions, depth)
+        h = self._width / float(1 << depth)
+        self.all_nodes = self._lo + node_coords.astype(np.float64) * h
+        self.all_centers = self._centers_of(coords, level)
+        self.all_levels = level.astype(np.int64)[:, None]
+        self._times["t_end_renumber"] = time()
+
+    def _create_mesh_info(self, counter: int) -> None:
+        """Mesh statistics + phase timings (reference ``_create_mesh_info``,
+        s_cube.py:1557-1584; consumed by post-processing timing plots)."""
+        self.data_final_mesh["size_initial_cell"] = self._width
+        self.data_final_mesh["n_cells_orig"] = self._n_cells_orig
+        self.data_final_mesh["n_cells"] = int(self._alive.sum())
+        self.data_final_mesh["iterations"] = counter
+        self.data_final_mesh["min_level"] = self._current_min_level
+        self.data_final_mesh["max_level"] = self._current_max_level
+        self.data_final_mesh["metric_per_iter"] = self._metric
+        self.data_final_mesh["cells_per_iter"] = self._n_cells_log
+        self.data_final_mesh["t_total"] = (self._times["t_end_renumber"]
+                                           - self._times["t_start_uniform"])
+        self.data_final_mesh["t_uniform"] = (self._times["t_end_uniform"]
+                                             - self._times["t_start_uniform"])
+        self.data_final_mesh["t_renumbering"] = (self._times["t_end_renumber"]
+                                                 - self._times["t_start_renumber"])
+        if self._times["t_end_geometry"] > 0:
+            self.data_final_mesh["t_geometry"] = (self._times["t_end_geometry"]
+                                                  - self._times["t_start_geometry"])
+            self.data_final_mesh["t_adaptive"] = (self._times["t_start_geometry"]
+                                                  - self._times["t_start_adaptive"])
+        else:
+            self.data_final_mesh["t_geometry"] = None
+            self.data_final_mesh["t_adaptive"] = (self._times["t_start_renumber"]
+                                                  - self._times["t_start_adaptive"])
+
+    # ------------------------------------------------------------------ #
+    # introspection                                                       #
+    # ------------------------------------------------------------------ #
+    def __len__(self):
+        return self._n_cells
+
+    def __str__(self) -> str:
+        message = [f"Finished refinement in {self.data_final_mesh['t_total']:2.4f} s ",
+                   f"({self.data_final_mesh['iterations']} iterations).",
+                   f"Time for uniform refinement: {self.data_final_mesh['t_uniform']:2.4f} s",
+                   f"Time for metric-based refinement: "
+                   f"{self.data_final_mesh['t_adaptive']:2.4f} s"]
+        if self.data_final_mesh["t_geometry"] is not None:
+            message += [f"Time for geometry refinement: "
+                        f"{self.data_final_mesh['t_geometry']:2.4f} s"]
+        message += ["Time for renumbering the final mesh: "
+                    "{:2.4f} s".format(self.data_final_mesh["t_renumbering"])]
+        message += ["""
+                            Number of cells: {:d}
+                            Minimum ref. level: {:d}
+                            Maximum ref. level: {:d}
+                            Captured metric of original grid: {:.2f} %
+            """.format(int(self._alive.sum()), self._current_min_level,
+                       self._current_max_level, self._metric[-1] * 100)]
+        return "\n\t\t\t\t".join(message)
+
+    @property
+    def n_dimensions(self) -> int:
+        return self._n_dimensions
+
+    @property
+    def width(self) -> float:
+        return self._width
+
+    @property
+    def geometry(self) -> list:
+        return self._geometry
+
+    def _print_settings(self) -> None:
+        if self._n_cells_max is not None:
+            logger.info("Selecting max. number of cells as stopping criterion.")
+        else:
+            logger.info("Selecting min. approximation of the metric as stopping criterion.")
+        settings = {
+            "min_metric": self._min_metric if self._n_cells_max is None else None,
+            "n_cells_max": self._n_cells_max,
+            "uniform_level": self._min_level,
+            "max_delta_level": self._max_delta_level,
+            "cells_per_iter_start": self._cells_per_iter_start,
+            "cells_per_iter_end": self._cells_per_iter_end,
+            "relTol": self._relTol,
+            "reach_at_least": self._reach_at_least,
+            "pre_select": self._pre_select,
+            "n_neighbors": self._n_neighbors,
+            "geometry": [g.name for g in self._geometry],
+        }
+        atts = ["\n\tSelected settings:"]
+        width = max(len(k) for k in settings)
+        atts += [f"\t\t{k:<{width}}:\t{v}" for k, v in settings.items()]
+        logger.info("\n".join(atts))

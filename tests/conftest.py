@@ -1,0 +1,18 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real TPU hardware is only used by ``bench.py``; tests exercise the same code
+paths on CPU. The environment pre-registers the TPU plugin at interpreter
+startup (sitecustomize) and pins ``JAX_PLATFORMS=axon``, so a plain env-var
+default is not enough — the platform must be overridden through jax.config
+before any backend is initialized.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,360 @@
+"""Geometry predicate truth tables.
+
+Mirrors the reference per-geometry test strategy
+(``sparseSpatialSampling/tests/test_*_geometry.py``): canonical inside /
+outside / partially-overlapping cells for both ``keep_inside`` polarities,
+plus constructor validation failures, plus the vectorized batch API.
+"""
+import numpy as np
+import pytest
+
+from sparsespatialsampling_tpu.geometry import (
+    CubeGeometry, SphereGeometry, CylinderGeometry3D, TriangleGeometry,
+    PrismGeometry3D, TetrahedronGeometry3D, PyramidGeometry3D,
+    GeometryCoordinates2D, GeometrySTL3D, GeometryObject, apply_mask,
+)
+from sparsespatialsampling_tpu.geometry.stl import write_stl, read_stl
+
+from .const import DummyCells
+
+CELLS = DummyCells()
+
+
+# --------------------------------------------------------------------------- #
+# base class behavior                                                          #
+# --------------------------------------------------------------------------- #
+class DummyGeometry(GeometryObject):
+    def __init__(self, name="dummy", keep_inside=False, refine=False,
+                 min_refinement_level=None):
+        super().__init__(name, keep_inside, refine, min_refinement_level)
+
+    def mask_points(self, points):
+        # inside the unit square
+        return np.logical_and(points >= 0.0, points <= 1.0).all(-1)
+
+    def _check_geometry(self):
+        pass
+
+    @property
+    def type(self):
+        return "dummy"
+
+    @property
+    def main_width(self):
+        return 1.0
+
+    @property
+    def center(self):
+        return np.asarray([0.5, 0.5])
+
+
+class TestGeometryBase:
+    def test_empty_name_raises(self):
+        with pytest.raises(AssertionError):
+            DummyGeometry(name="")
+
+    def test_keep_inside_type(self):
+        with pytest.raises(AssertionError):
+            DummyGeometry(keep_inside="yes")
+
+    def test_refine_auto_promotion(self):
+        g = DummyGeometry(refine=False, min_refinement_level=3)
+        assert g.refine is True
+        assert g.min_refinement_level == 3
+
+    def test_min_refinement_level_validation(self):
+        with pytest.raises(AssertionError):
+            DummyGeometry(refine=True, min_refinement_level=0)
+
+    @pytest.mark.parametrize("keep_inside,refine_geometry,expected", [
+        # mask [True, False]: one node in, one node out
+        (False, False, False),   # geometry: not all inside -> valid
+        (True, False, False),    # domain: some inside -> valid
+        (False, True, True),     # refine: any inside -> surface cell
+        (True, True, True),      # refine: any outside -> surface cell
+    ])
+    def test_apply_mask_truth_table(self, keep_inside, refine_geometry, expected):
+        mask = np.asarray([[True, False]])
+        res = np.asarray(apply_mask(mask, keep_inside, refine_geometry))
+        assert bool(res[0]) is expected
+
+    def test_apply_mask_all_inside(self):
+        mask = np.asarray([[True, True]])
+        assert bool(np.asarray(apply_mask(mask, False, False))[0]) is True
+        assert bool(np.asarray(apply_mask(mask, True, False))[0]) is False
+
+    def test_apply_mask_none_inside(self):
+        mask = np.asarray([[False, False]])
+        assert bool(np.asarray(apply_mask(mask, False, False))[0]) is False
+        assert bool(np.asarray(apply_mask(mask, True, False))[0]) is True
+
+
+# --------------------------------------------------------------------------- #
+# per-geometry truth tables                                                    #
+# --------------------------------------------------------------------------- #
+def _check(geometry, cell, expected):
+    assert geometry.check_cell(cell) is expected
+
+
+class TestCubeGeometry:
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True), (False, "partially", False),
+        (True, "outside", True), (True, "inside", False), (True, "partially", False),
+    ])
+    def test_2d(self, keep_inside, cell, expected):
+        g = CubeGeometry("cube2D", keep_inside, [0.0, 0.0], [1.0, 1.0])
+        _check(g, CELLS.cells_2D[cell], expected)
+
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True), (False, "partially", False),
+        (True, "outside", True), (True, "inside", False), (True, "partially", False),
+    ])
+    def test_3d(self, keep_inside, cell, expected):
+        g = CubeGeometry("cube3D", keep_inside, [0.0] * 3, [1.0] * 3)
+        _check(g, CELLS.cells_3D[cell], expected)
+
+    def test_validation(self):
+        with pytest.raises(AssertionError):
+            CubeGeometry("c", False, [], [1.0])
+        with pytest.raises(AssertionError):
+            CubeGeometry("c", False, [0.0, 0.0], [1.0])
+        with pytest.raises(AssertionError):
+            CubeGeometry("c", False, [1.0, 0.0], [0.0, 1.0])
+
+    def test_domain_properties(self):
+        g = CubeGeometry("domain", True, [0.0, 0.0], [2.0, 1.0])
+        assert g.main_width == 2.0
+        assert np.allclose(np.asarray(g.center), [1.0, 0.5])
+
+
+class TestSphereGeometry:
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True), (False, "partially", False),
+        (True, "outside", True), (True, "inside", False), (True, "partially", False),
+    ])
+    def test_2d(self, keep_inside, cell, expected):
+        g = SphereGeometry("circle", keep_inside, [0.5, 0.5], 1.0)
+        _check(g, CELLS.cells_2D[cell], expected)
+
+    def test_2d_full_containment(self):
+        # unit square fully inside circle of radius 2 -> even the "partially"
+        # cell is entirely contained and therefore invalid
+        g = SphereGeometry("circle", False, [0.5, 0.5], 2.0)
+        assert g.check_cell(CELLS.cell_partially_2D) is True
+
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True),
+        (True, "outside", True), (True, "inside", False),
+    ])
+    def test_3d(self, keep_inside, cell, expected):
+        g = SphereGeometry("sphere", keep_inside, [0.5, 0.5, 0.5], 2.0)
+        _check(g, CELLS.cells_3D[cell], expected)
+
+    def test_validation(self):
+        with pytest.raises(AssertionError):
+            SphereGeometry("s", False, [], 1.0)
+        with pytest.raises(AssertionError):
+            SphereGeometry("s", False, [0.0, 0.0], -1.0)
+
+    def test_dimension_mismatch(self):
+        g = SphereGeometry("s", False, [0.0, 0.0, 0.0], 1.0)
+        with pytest.raises(AssertionError):
+            g.check_cell(CELLS.cell_inside_2D)
+
+
+class TestCylinderGeometry:
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True), (False, "partially", False),
+        (True, "outside", True), (True, "inside", False), (True, "partially", False),
+    ])
+    def test_3d(self, keep_inside, cell, expected):
+        # cylinder along z through the unit cube, radius 1
+        g = CylinderGeometry3D("cyl", keep_inside,
+                               [(0.5, 0.5, -0.5), (0.5, 0.5, 1.5)], 1.0)
+        _check(g, CELLS.cells_3D[cell], expected)
+
+    def test_cone(self):
+        # cone with apex at top; base radius 2 covers the unit cube bottom
+        g = CylinderGeometry3D("cone", False, [(0.5, 0.5, 0.0), (0.5, 0.5, 4.0)],
+                               [2.0, 0.0])
+        pts = np.asarray([[0.5, 0.5, 0.1], [2.4, 0.5, 0.1], [0.5, 0.5, 3.9],
+                          [2.0, 0.5, 3.9]])
+        mask = np.asarray(g.mask_points(pts))
+        assert mask.tolist() == [True, True, True, False]
+
+    def test_validation(self):
+        with pytest.raises(AssertionError):
+            CylinderGeometry3D("c", False, [(0, 0, 0)], 1.0)
+        with pytest.raises(AssertionError):
+            CylinderGeometry3D("c", False, [(0, 0, 0), (0, 0, 0)], 1.0)
+        with pytest.raises(AssertionError):
+            CylinderGeometry3D("c", False, [(0, 0, 0), (0, 0, 1)], -1.0)
+        with pytest.raises(AssertionError):
+            CylinderGeometry3D("c", False, [(0, 0, 0), (0, 0, 1)], [0.0, 0.0])
+
+
+class TestTriangleGeometry:
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True), (False, "partially", True),
+        (True, "outside", True), (True, "inside", False), (True, "partially", False),
+    ])
+    def test_2d(self, keep_inside, cell, expected):
+        # large triangle fully containing both the inside and partially cells
+        g = TriangleGeometry("tri", keep_inside,
+                             [[-2.0, -2.0], [4.0, -2.0], [1.0, 5.0]])
+        _check(g, CELLS.cells_2D[cell], expected)
+
+    def test_partial_overlap(self):
+        # triangle crossing the unit square: some nodes in, some out -> valid
+        g = TriangleGeometry("tri", False, [[0.5, 0.0], [3.0, 0.0], [1.5, 3.0]])
+        assert g.check_cell(CELLS.cell_inside_2D) is False
+
+    def test_validation_area_zero(self):
+        with pytest.raises(AssertionError):
+            TriangleGeometry("t", False, [[0, 0], [1, 1], [2, 2]])
+
+    def test_validation_wrong_count(self):
+        with pytest.raises(AssertionError):
+            TriangleGeometry("t", False, [[0, 0], [1, 0]])
+
+    def test_edge_points_inside(self):
+        g = TriangleGeometry("t", False, [[0.0, 0.0], [2.0, 0.0], [1.0, 2.0]])
+        pts = np.asarray([[1.0, 0.0], [0.0, 0.0], [3.0, 0.0]])
+        mask = np.asarray(g.mask_points(pts))
+        assert mask.tolist() == [True, True, False]
+
+
+class TestPrismGeometry:
+    def _prism(self, keep_inside):
+        # triangular prism extruded along z covering the unit cube
+        tri = [[-1.0, -1.0], [3.0, -1.0], [1.0, 4.0]]
+        return PrismGeometry3D(
+            "prism", keep_inside,
+            [[[t[0], t[1], -0.5] for t in tri], [[t[0], t[1], 1.5] for t in tri]])
+
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True),
+        (True, "outside", True), (True, "inside", False),
+    ])
+    def test_3d(self, keep_inside, cell, expected):
+        _check(self._prism(keep_inside), CELLS.cells_3D[cell], expected)
+
+    def test_validation(self):
+        with pytest.raises(AssertionError):
+            PrismGeometry3D("p", False, [])
+        with pytest.raises(AssertionError):
+            PrismGeometry3D("p", False, [[[0, 0, 0], [1, 0, 0], [0, 1, 0]]])
+
+
+class TestTetrahedronGeometry:
+    def _tet(self, keep_inside):
+        # large tetrahedron containing the unit cube
+        return TetrahedronGeometry3D(
+            "tet", keep_inside,
+            [[-2, -2, -1], [6, -2, -1], [0.5, 6, -1], [0.5, 0.5, 8]])
+
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True),
+        (True, "outside", True), (True, "inside", False),
+    ])
+    def test_3d(self, keep_inside, cell, expected):
+        _check(self._tet(keep_inside), CELLS.cells_3D[cell], expected)
+
+    def test_validation_volume_zero(self):
+        with pytest.raises(AssertionError):
+            TetrahedronGeometry3D(
+                "t", False, [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]])
+
+
+class TestPyramidGeometry:
+    def _pyr(self, keep_inside):
+        # pyramid with large base under the unit cube, apex above it
+        return PyramidGeometry3D(
+            "pyr", keep_inside,
+            [(-4.0, -4.0, -0.5), (5.0, -4.0, -0.5), (5.0, 5.0, -0.5),
+             (-4.0, 5.0, -0.5), (0.5, 0.5, 8.0)])
+
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True),
+        (True, "outside", True), (True, "inside", False),
+    ])
+    def test_3d(self, keep_inside, cell, expected):
+        _check(self._pyr(keep_inside), CELLS.cells_3D[cell], expected)
+
+    def test_validation(self):
+        with pytest.raises(AssertionError):
+            PyramidGeometry3D("p", False, [(0, 0, 0), (1, 0, 0), (1, 1, 0)])
+
+
+class TestCoordinates2D:
+    def _poly(self, keep_inside):
+        # big diamond around the unit square
+        return GeometryCoordinates2D(
+            "poly", keep_inside,
+            [[-3.0, 0.5], [0.5, -3.0], [4.0, 0.5], [0.5, 4.0], [-3.0, 0.5]])
+
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "inside", True),
+        (True, "outside", True), (True, "inside", False),
+    ])
+    def test_2d(self, keep_inside, cell, expected):
+        _check(self._poly(keep_inside), CELLS.cells_2D[cell], expected)
+
+    def test_pre_check_cell(self):
+        g = self._poly(False)
+        assert g.pre_check_cell(CELLS.cell_outside_2D) is False
+
+    def test_auto_close(self):
+        g = GeometryCoordinates2D("p", False, [[0, 0], [1, 0], [1, 1], [0, 1]])
+        pts = np.asarray([[0.5, 0.5], [2.0, 2.0]])
+        assert np.asarray(g.mask_points(pts)).tolist() == [True, False]
+
+
+class TestSTLGeometry:
+    @pytest.fixture
+    def cube_stl(self, tmp_path):
+        """Write a unit-cube STL (12 triangles) to disk."""
+        v = np.asarray([[x, y, z] for z in (0, 1) for y in (0, 1) for x in (0, 1)],
+                       dtype=np.float64)
+        # 12 triangles (outward-oriented) of the unit cube
+        faces = [
+            (0, 2, 1), (1, 2, 3),  # bottom z=0
+            (4, 5, 6), (5, 7, 6),  # top z=1
+            (0, 1, 4), (1, 5, 4),  # y=0
+            (2, 6, 3), (3, 6, 7),  # y=1
+            (0, 4, 2), (2, 4, 6),  # x=0
+            (1, 3, 5), (3, 7, 5),  # x=1
+        ]
+        tris = np.stack([v[list(f)] for f in faces])
+        path = str(tmp_path / "cube.stl")
+        write_stl(path, tris)
+        return path
+
+    def test_read_roundtrip(self, cube_stl):
+        tris = read_stl(cube_stl)
+        assert tris.shape == (12, 3, 3)
+
+    @pytest.mark.parametrize("keep_inside,cell,expected", [
+        (False, "outside", False), (False, "partially", False),
+        (True, "outside", True), (True, "partially", False),
+    ])
+    def test_3d(self, cube_stl, keep_inside, cell, expected):
+        g = GeometrySTL3D("stl", keep_inside, cube_stl)
+        _check(g, CELLS.cells_3D[cell], expected)
+
+    def test_inside_points(self, cube_stl):
+        g = GeometrySTL3D("stl", False, cube_stl)
+        pts = np.asarray([[0.5, 0.5, 0.5], [0.1, 0.9, 0.5], [1.5, 0.5, 0.5],
+                          [-0.1, 0.5, 0.5]])
+        mask = np.asarray(g.mask_points(pts))
+        assert mask.tolist() == [True, True, False, False]
+
+    def test_pre_check_cell(self, cube_stl):
+        g = GeometrySTL3D("stl", False, cube_stl)
+        assert g.pre_check_cell(CELLS.cell_outside_3D) is False
+
+    def test_batched_check_cells(self, cube_stl):
+        g = GeometrySTL3D("stl", False, cube_stl)
+        cells = np.stack([CELLS.cell_outside_3D, CELLS.cell_partially_3D])
+        res = np.asarray(g.check_cells(cells))
+        assert res.tolist() == [False, False]
