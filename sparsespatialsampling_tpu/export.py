@@ -1,0 +1,271 @@
+"""Interpolate CFD fields onto the S³ grid and export them to HDF5/XDMF.
+
+API mirror of the reference ``ExportData`` (``sparseSpatialSampling/
+export.py:40-319``) with a TPU-native compute path: the k-NN weight cache is
+built with the exact MXU k-NN (``ops/knn.py``) instead of a sklearn KD-tree,
+and the per-snapshot interpolation is one fused device gather+contraction
+(``ops/interpolate.py``) instead of a chunked CPU loop.  The HDF5/XDMF
+schema is bit-compatible with the reference so ParaView and downstream
+tooling work unchanged.
+"""
+import logging
+from os import path
+from time import time
+from typing import Union
+
+import numpy as np
+
+from .io.const import GRID, CONST, FACES, CENTERS, VERTICES, DATA
+from .io.data import Datawriter
+from .ops.knn import KNNIndex
+from .ops.interpolate import interpolate_data
+
+logger = logging.getLogger(__name__)
+
+
+class Fields:
+    """Holder for interpolated field values at cell centers and vertices
+    (reference ``Fields``, ``export.py:26-37``)."""
+
+    def __init__(self, centers=None, vertices=None):
+        self.centers = centers
+        self.vertices = vertices
+
+
+class ExportData:
+    """Interpolate original snapshots onto the S³ grid and write HDF5/XDMF."""
+
+    def __init__(self, s_cube, write_new_file_for_each_field: bool = False,
+                 n_jobs: int = None, n_neighbors: int = None,
+                 interpolate_at_vertices: bool = False,
+                 write_times: Union[list, str] = None,
+                 append_existing: bool = False):
+        """
+        :param s_cube: executed :class:`SparseSpatialSampling` object
+        :param write_new_file_for_each_field: write each field into its own
+            HDF5 file (disabled when ``append_existing=True``)
+        :param n_jobs: accepted for reference drop-in compatibility; unused
+            (interpolation runs on the accelerator)
+        :param n_neighbors: k for the interpolation k-NN (default 8 in 2D,
+            26 in 3D — reference ``export.py:117-118``)
+        :param interpolate_at_vertices: also interpolate at cell vertices
+        :param write_times: time-step labels of the snapshots to export
+        :param append_existing: append fields to an existing HDF5 file (the
+            grids must be identical; consistency is not checked)
+        """
+        self._interpolate_at_vertices = interpolate_at_vertices
+        self._new_file = write_new_file_for_each_field
+
+        self.n_dimensions = s_cube.n_dimensions
+        self._face_id = np.asarray(s_cube.faces)
+        self._centers = np.asarray(s_cube.centers)
+        self._vertices = np.asarray(s_cube.vertices)
+        self._levels = np.asarray(s_cube.levels)
+        self._metric = np.asarray(s_cube.metric)
+        self._size_initial_cell = s_cube.size_initial_cell
+        self._save_dir = s_cube.save_path
+        self._save_name = s_cube.save_name
+        self._grid_name = s_cube.grid_name
+
+        if write_times is not None:
+            self._write_times = write_times if isinstance(write_times, list) else [write_times]
+        else:
+            self._write_times = None
+            logger.warning("Argument ``write_times`` is ``None``. Make sure to set the "
+                           "``write_times`` before calling the ``export()`` method.")
+
+        self._interpolated_fields = Fields()
+        self._field_name = None
+        self._datawriter = None
+        self._snapshot_counter = 0
+        self._initialized_hdf5 = append_existing
+        self._interpolated_metric = append_existing
+        self._initialized_weights = False
+        self._n_snapshots_total = None
+        self._t_start = time()
+
+        if append_existing:
+            logger.info(f"Appending fields to file "
+                        f"{path.join(self._save_dir, self._save_name)}.h5")
+            if self._new_file:
+                logger.warning("Setting `write_new_file_for_each_field = False` since "
+                               "`append_existing` is given as `True`")
+                self._new_file = False
+
+        self._n_neighbors = (n_neighbors if n_neighbors is not None
+                             else (8 if self.n_dimensions == 2 else 26))
+        self._knn = None
+        self._knn_idx_centers = None
+        self._knn_w_centers = None
+        self._knn_idx_vertices = None
+        self._knn_w_vertices = None
+        self._coord_shape = None
+        self._chunk_size = None
+
+    # ------------------------------------------------------------------ #
+    # public API                                                          #
+    # ------------------------------------------------------------------ #
+    def export(self, coordinates, data, field_name: str,
+               n_snapshots_total: int = None, chunk_size: int = 100_000) -> None:
+        """Interpolate the provided CFD data onto the S³ grid and export to
+        HDF5 (and XDMF once all snapshots of the field are written).
+
+        :param coordinates: coordinates of the original CFD grid ``[N, d]``
+        :param data: field data ``[N, C, S]`` (scalar fields: C = 1); ``S``
+            may be all snapshots, a batch, or a single snapshot
+        :param field_name: name of the exported field (e.g. ``'p'``)
+        :param n_snapshots_total: total number of snapshots to export across
+            all batches; if None, ``data`` is assumed complete
+        :param chunk_size: cells interpolated per device call (memory bound)
+        """
+        if self._write_times is None:
+            raise ValueError("Couldn't find any ``write_times`` for export. Make sure to "
+                             "pass the write times when instantiating the export object or "
+                             "set it before calling the ``export`` method.")
+
+        self._chunk_size = int(chunk_size)
+        self._field_name = field_name
+        self._fit_data(coordinates, data, n_snapshots_total)
+        self._write_data_to_hdf5()
+
+    @property
+    def write_times(self) -> list:
+        return self._write_times
+
+    @write_times.setter
+    def write_times(self, value: Union[list, str]) -> None:
+        self._write_times = value if isinstance(value, list) else [value]
+
+    # ------------------------------------------------------------------ #
+    # interpolation                                                       #
+    # ------------------------------------------------------------------ #
+    def _build_knn_cache(self, coordinates) -> None:
+        """k-NN of the S³ cell centers (and optionally vertices) in the
+        original CFD grid, with normalized inverse-distance weights
+        (reference ``_build_knn_cache``, ``export.py:403-444``).  Cached
+        across all fields/snapshots since both grids are static; re-fit if
+        the CFD grid changes shape."""
+        coordinates = np.asarray(coordinates)
+        if self._coord_shape is not None and coordinates.shape != self._coord_shape:
+            self._knn = None
+        self._coord_shape = coordinates.shape
+
+        if self._knn is None:
+            self._knn = KNNIndex(coordinates.reshape(-1, self.n_dimensions))
+
+        w, idx = self._knn.weights(self._centers, self._n_neighbors)
+        self._knn_w_centers = np.asarray(w)
+        self._knn_idx_centers = np.asarray(idx)
+
+        if self._interpolate_at_vertices:
+            w, idx = self._knn.weights(self._vertices, self._n_neighbors)
+            self._knn_w_vertices = np.asarray(w)
+            self._knn_idx_vertices = np.asarray(idx)
+
+        self._initialized_weights = True
+
+    def _fit_data(self, coordinates, data, n_snapshots_total: int = None) -> None:
+        """Shape-validate the input, build the weight cache on first call,
+        interpolate the metric once, then interpolate the data batch
+        (reference ``_fit_data``, ``export.py:169-231``)."""
+        data = np.asarray(data)
+        if data.ndim < 2:
+            raise ValueError(
+                "The provided field must have the shape '[N_cells, N_dimensions, "
+                "N_snapshots]' for a vector field and '[N_cells, 1, N_snapshots]' for a "
+                f"scalar field. Found a dimension of {data.ndim} for parameter 'data'.")
+        elif data.ndim == 2:
+            logger.warning(f"Detected a scalar field of the dimension of {data.ndim} as "
+                           f"input. Reshaping to the dimension of "
+                           f"'[N_cells, 1, N_snapshots]'.")
+            data = data[:, None, :]
+
+        if not self._initialized_weights:
+            self._build_knn_cache(coordinates)
+
+        if self._snapshot_counter == 0:
+            logger.info(f"Starting interpolation and export of field {self._field_name}.")
+            self._n_snapshots_total = (n_snapshots_total if n_snapshots_total is not None
+                                       else data.shape[-1])
+
+        # interpolate the refinement metric onto the S³ grid once
+        if not self._interpolated_metric:
+            self._metric = (self._knn_w_centers
+                            * self._metric[self._knn_idx_centers]).sum(axis=1)
+            self._interpolated_metric = True
+
+        self._interpolated_fields.centers = interpolate_data(
+            self._knn_w_centers, self._knn_idx_centers, data, self._chunk_size)
+
+        if self._interpolate_at_vertices:
+            self._interpolated_fields.vertices = interpolate_data(
+                self._knn_w_vertices, self._knn_idx_vertices, data, self._chunk_size)
+
+        self._snapshot_counter += data.shape[-1]
+
+    # ------------------------------------------------------------------ #
+    # HDF5 output                                                         #
+    # ------------------------------------------------------------------ #
+    def _write_data_to_hdf5(self) -> None:
+        """Write grid (first call) + the interpolated snapshots; trigger the
+        XDMF generation once all snapshots of the field are written
+        (reference ``_write_data_to_hdf5``, ``export.py:233-319``)."""
+        if not self._initialized_hdf5:
+            logger.info(f"Writing HDF5 file for field {self._field_name}.")
+            file_name = (f"{self._save_name}_{self._field_name}.h5" if self._new_file
+                         else f"{self._save_name}.h5")
+            self._datawriter = Datawriter(self._save_dir, file_name)
+
+            self._datawriter.write_data(FACES, group=GRID, data=self._face_id)
+            self._datawriter.write_data(VERTICES, group=GRID, data=self._vertices)
+            self._datawriter.write_data(CENTERS, group=GRID, data=self._centers)
+
+            self._datawriter.write_data("levels", group=CONST, data=self._levels)
+            self._datawriter.write_data("metric", group=CONST, data=self._metric)
+            self._datawriter.write_data("size_initial_cell", group=CONST,
+                                        data=self._size_initial_cell)
+            self._initialized_hdf5 = True
+
+            self._levels = None
+            self._metric = None
+            self._size_initial_cell = None
+        else:
+            if not self._new_file and self._datawriter is None:
+                logger.info(f"Writing HDF5 file for field {self._field_name}.")
+                self._datawriter = Datawriter(self._save_dir,
+                                              f"{self._save_name}.h5", mode="a")
+            else:
+                self._datawriter.mode = "a"
+
+        centers = self._interpolated_fields.centers
+        t_start = self._snapshot_counter - centers.shape[-1]
+        t_end = self._snapshot_counter
+
+        for i, t in enumerate(self._write_times[t_start:t_end]):
+            if centers.shape[1] == 1:
+                self._datawriter.write_data(f"{self._field_name}_center", group=DATA,
+                                            time_step=str(t), data=centers[:, 0, i])
+                if self._interpolate_at_vertices:
+                    self._datawriter.write_data(
+                        f"{self._field_name}_vertices", group=DATA, time_step=str(t),
+                        data=self._interpolated_fields.vertices[:, 0, i])
+            else:
+                self._datawriter.write_data(f"{self._field_name}_center", group=DATA,
+                                            time_step=str(t), data=centers[:, :, i])
+                if self._interpolate_at_vertices:
+                    self._datawriter.write_data(
+                        f"{self._field_name}_vertices", group=DATA, time_step=str(t),
+                        data=self._interpolated_fields.vertices[:, :, i])
+
+        if self._snapshot_counter == self._n_snapshots_total:
+            self._datawriter.close()
+            self._datawriter.write_xdmf_file()
+
+            self._interpolated_fields = Fields()
+            self._snapshot_counter = 0
+            if self._new_file:
+                self._initialized_hdf5 = False
+
+            logger.info(f"Finished export of field {self._field_name} in "
+                        f"{round(time() - self._t_start, 3)}s.")
+            self._t_start = time()

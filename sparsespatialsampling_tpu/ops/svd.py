@@ -1,0 +1,78 @@
+"""Device-resident SVD primitives for the S³ analysis pipeline.
+
+Replaces the flowtorch ``SVD`` dependency of the reference
+(``sparseSpatialSampling/utils.py:302-346``) with two TPU paths:
+
+- :func:`economy_svd` — exact thin SVD via ``jnp.linalg.svd`` for
+  reference-scale matrices (up to a few hundred thousand rows).
+- :func:`randomized_svd` — Halko-Martinsson-Tropp randomized range finder
+  for tall-skinny matrices: the heavy work is two MXU matmuls
+  ``A @ Ω`` / ``Aᵀ @ Q`` plus a small host-side SVD, which also shards
+  naturally over the cell axis (see ``parallel/svd.py``).
+
+Rank selection without an explicit ``rank`` follows the Gavish-Donoho
+optimal hard threshold for singular values (the same criterion flowtorch's
+``opt_rank`` uses), computed from the published ω(β) approximation.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def optimal_rank(s: np.ndarray, shape) -> int:
+    """Gavish-Donoho optimal hard threshold rank for a noisy matrix.
+
+    ω(β) ≈ 0.56 β³ − 0.95 β² + 1.82 β + 1.43 with β = n/m (m ≥ n);
+    keep singular values above ω·median(s).  At least one mode is kept.
+    """
+    m, n = max(shape), min(shape)
+    beta = n / m
+    omega = 0.56 * beta ** 3 - 0.95 * beta ** 2 + 1.82 * beta + 1.43
+    tau = omega * np.median(s)
+    return max(int((s > tau).sum()), 1)
+
+
+@jax.jit
+def _svd_device(a):
+    return jnp.linalg.svd(a, full_matrices=False)
+
+
+def economy_svd(a) -> tuple:
+    """Exact thin SVD ``a = U diag(s) Vᵀ``; returns numpy ``(U, s, V)``
+    with V the right singular vectors as columns (``V[:, i]``)."""
+    u, s, vt = _svd_device(jnp.asarray(a, dtype=jnp.float32))
+    return np.asarray(u), np.asarray(s), np.asarray(vt).T
+
+
+@partial(jax.jit, static_argnames=("rank", "n_oversample", "n_iter"))
+def _rsvd_device(a, key, rank: int, n_oversample: int, n_iter: int):
+    """Randomized range finder + small SVD, all on device.
+
+    ``a [m, n]`` tall-skinny; sketch width ``l = rank + n_oversample``.
+    Power iterations with QR re-orthogonalization for spectral accuracy.
+    """
+    m, n = a.shape
+    l = min(rank + n_oversample, n)
+    omega = jax.random.normal(key, (n, l), dtype=a.dtype)
+    y = a @ omega                               # [m, l]  MXU
+    q, _ = jnp.linalg.qr(y)
+    for _ in range(n_iter):
+        z = a.T @ q                             # [n, l]  MXU
+        z, _ = jnp.linalg.qr(z)
+        y = a @ z
+        q, _ = jnp.linalg.qr(y)
+    b = q.T @ a                                 # [l, n]
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = q @ ub
+    return u[:, :rank], s[:rank], vt[:rank]
+
+
+def randomized_svd(a, rank: int, n_oversample: int = 10, n_iter: int = 2,
+                   seed: int = 0) -> tuple:
+    """Randomized thin SVD of rank ``rank``; returns numpy ``(U, s, V)``."""
+    a = jnp.asarray(a, dtype=jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    u, s, vt = _rsvd_device(a, key, int(rank), int(n_oversample), int(n_iter))
+    return np.asarray(u), np.asarray(s), np.asarray(vt).T

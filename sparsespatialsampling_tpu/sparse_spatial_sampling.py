@@ -1,0 +1,192 @@
+"""Public façade of the TPU-native S³ implementation.
+
+API mirror of the reference ``SparseSpatialSampling``
+(``sparseSpatialSampling/sparse_spatial_sampling.py:20-212``): same
+constructor signature, same validation/auto-correction semantics, same
+output artifacts (``mesh_info_{name}.pt`` dict and a reloadable
+``s_cube_{name}.pt`` object checkpoint) so reference post-processing
+scripts (e.g. ``post_processing/compare_execution_times_s_cube.py``) work
+unchanged.  Arrays are numpy on the host; all heavy numerics live in the
+engine (``engine/tree.py``) and run through JAX.
+"""
+import inspect
+import logging
+import pickle
+import textwrap
+from os import makedirs, path
+from os.path import join
+from typing import Union
+
+import numpy as np
+
+from .engine.tree import SamplingTree
+
+logger = logging.getLogger(__name__)
+
+
+def _save_object(obj, file_path: str) -> None:
+    """Persist with ``torch.save`` when torch is importable (keeps the
+    artifact loadable by the reference's ``pt.load``-based post-processing),
+    plain pickle otherwise."""
+    try:
+        import torch
+        torch.save(obj, file_path)
+    except ImportError:
+        with open(file_path, "wb") as f:
+            pickle.dump(obj, f)
+
+
+def load_s_cube(file_path: str):
+    """Reload a pickled :class:`SparseSpatialSampling` checkpoint
+    (reference pattern: ``examples/s3_for_cylinder3D_Re3900.py:116-121``)."""
+    try:
+        import torch
+        return torch.load(file_path, weights_only=False)
+    except ImportError:
+        with open(file_path, "rb") as f:
+            return pickle.load(f)
+
+
+class SparseSpatialSampling:
+    """Execute the S³ algorithm: metric-driven adaptive quadtree/octree grid
+    generation for CFD data reduction."""
+
+    def __init__(self, coordinates, metric, geometry_objects: list, save_path: str,
+                 save_name: str, grid_name: str = "grid_s_cube", uniform_levels: int = 5,
+                 n_cells_max: Union[int, float] = None, min_metric: float = 0.75,
+                 max_delta_level: bool = False, n_cells_iter_start: int = None,
+                 n_cells_iter_end: int = None, n_jobs: int = 1,
+                 relTol: Union[int, float] = 1e-3, reach_at_least: float = 0.75,
+                 pre_select_cells: bool = False):
+        """
+        :param coordinates: coordinates of the original grid ``[N, d]``
+        :param metric: refinement-indicator field ``[N]`` (e.g. std(p) over time)
+        :param geometry_objects: list of geometry objects; at least one must
+            have ``keep_inside=True`` (the numerical domain)
+        :param save_path: directory for the generated grid and data
+        :param save_name: base name of the output files
+        :param grid_name: grid name used in the XDMF file
+        :param uniform_levels: number of uniform refinement cycles
+        :param n_cells_max: max number of cells (overrides ``min_metric``)
+        :param min_metric: target captured-metric fraction
+        :param max_delta_level: enforce a max level difference of one between
+            adjacent cells
+        :param n_cells_iter_start: cells refined per iteration at the start
+        :param n_cells_iter_end: cells refined per iteration at the end
+        :param n_jobs: accepted for reference drop-in compatibility; the TPU
+            backend has no process pool and ignores it
+        :param relTol: min improvement between consecutive iterations
+        :param reach_at_least: fraction of the target to reach before the
+            relTol stopping criterion arms
+        :param pre_select_cells: bbox fast-path for expensive geometries
+        """
+        self.n_jobs = n_jobs
+        self.coordinates = np.asarray(coordinates)
+        self.metric = np.asarray(metric)
+        self.save_path = save_path
+        self.save_name = save_name
+        self.grid_name = grid_name
+
+        # results copied off the SamplingTree after execution
+        self.centers = None
+        self.vertices = None
+        self.faces = None
+        self.n_dimensions = int(np.squeeze(self.coordinates).shape[-1])
+        self.size_initial_cell = None
+        self.levels = None
+        self.data_final_mesh = None
+
+        self._geometries = geometry_objects
+        self._pre_select_cells = pre_select_cells
+        self._level_bounds = int(uniform_levels)
+        self._n_cells_max = n_cells_max if n_cells_max is None else int(n_cells_max)
+        self._min_metric = min_metric
+        self._max_delta_level = max_delta_level
+        self._n_cells_iter_start = (n_cells_iter_start if n_cells_iter_start is None
+                                    else int(n_cells_iter_start))
+        self._n_cells_iter_end = (n_cells_iter_end if n_cells_iter_end is None
+                                  else int(n_cells_iter_end))
+        self._relTol = relTol
+        self._reach_at_least = reach_at_least
+
+        self._check_input()
+
+        self._sampling = SamplingTree(
+            self.coordinates, self.metric, self._geometries, n_cells=self._n_cells_max,
+            uniform_level=self._level_bounds, min_metric=self._min_metric,
+            max_delta_level=self._max_delta_level, n_cells_iter_end=self._n_cells_iter_end,
+            n_cells_iter_start=self._n_cells_iter_start, n_jobs=self.n_jobs,
+            relTol=self._relTol, reach_at_least=self._reach_at_least,
+            pre_select=self._pre_select_cells)
+
+    def execute_grid_generation(self) -> None:
+        """Run the refinement and persist the results
+        (reference ``execute_grid_generation``,
+        ``sparse_spatial_sampling.py:116-146``)."""
+        if not path.exists(self.save_path):
+            makedirs(self.save_path)
+
+        self._sampling.refine()
+
+        self.data_final_mesh = self._sampling.data_final_mesh
+        _save_object(self.data_final_mesh,
+                     join(self.save_path, f"mesh_info_{self.save_name}.pt"))
+
+        self.levels = self._sampling.all_levels
+        self.centers = self._sampling.all_centers
+        self.vertices = self._sampling.all_nodes
+        self.faces = self._sampling.face_ids
+        self.size_initial_cell = self.data_final_mesh["size_initial_cell"]
+
+        # drop the tree; the checkpoint only needs the final grid
+        self._sampling = None
+
+        _save_object(self, join(self.save_path, f"s_cube_{self.save_name}.pt"))
+
+    def _check_input(self) -> None:
+        """Validate + auto-correct user settings (reference ``_check_input``,
+        ``sparse_spatial_sampling.py:148-186``)."""
+        assert np.squeeze(self.metric).ndim == 1, (
+            f"The metric must be a 1D array of length {self.coordinates.shape[0]}. "
+            f"The shape of the metric given is {self.metric.shape}.")
+
+        if self._n_cells_max is None and self._min_metric > 1:
+            logger.warning("A value of min_metric > 1 is invalid. Changed min_metric to 1.")
+            self._min_metric = 1
+
+        assert self._geometries, ("No geometries are provided. Please provide at least one "
+                                  "geometry for the numerical domain.")
+        assert any(g.keep_inside for g in self._geometries), (
+            "No geometry for the domain provided. At least one geometry object must have "
+            "'keep_inside = True' representing the numerical domain.")
+
+        if self._level_bounds <= 0:
+            logger.warning(f"Lower level bound of {self._level_bounds} is invalid. "
+                           f"Changed lower level bound to 1.")
+            self._level_bounds = 1
+
+        if self._n_cells_max is not None:
+            logger.warning(
+                "Detected stopping criterion 'n_cells_max'. Passing this stopping criterion "
+                "deactivates the 'min_metric' stopping criterion. To use 'min_metric' as "
+                "stopping criterion, remove 'n_cells_max' or set 'n_cells_max = None'.")
+
+
+def list_geometries() -> None:
+    """Log all available geometry objects with a short description
+    (reference ``list_geometries``, ``sparse_spatial_sampling.py:190-212``)."""
+    from . import geometry
+    from .geometry.base import GeometryObject
+
+    classes = [obj for _, obj in inspect.getmembers(geometry, inspect.isclass)
+               if issubclass(obj, GeometryObject) and obj is not GeometryObject]
+
+    msg = ["\n\tAvailable geometry objects:", "\t---------------------------"]
+    max_len = max(len(cls.__name__) for cls in classes)
+    for cls in sorted(classes, key=lambda c: c.__name__):
+        short_desc = getattr(cls, "__short_description__", cls.__doc__ or "")
+        short_desc = textwrap.shorten(short_desc, width=100, placeholder="…")
+        msg.append(f"\t\t- {cls.__name__.ljust(max_len)} : {short_desc}")
+
+    msg.append("\n\tFor a more detailed description check out the documentation.")
+    logger.info("\n".join(msg))
