@@ -1,0 +1,283 @@
+"""End-to-end pipeline tests: refinement engine, export, storage round-trip,
+SVD — covering the behaviors the reference leaves untested (SURVEY.md §4
+gaps: adaptive loop, stopping criteria, ExportData, XDMFWriter, compute_svd).
+"""
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from sparsespatialsampling_tpu import (
+    SparseSpatialSampling, ExportData, CubeGeometry, SphereGeometry,
+    Dataloader, write_svd_s_cube_to_file, load_s_cube, compute_svd)
+
+
+@pytest.fixture(scope="module")
+def cloud_2d():
+    rng = np.random.default_rng(0)
+    xy = rng.uniform([0.0, 0.0], [1.0, 1.0], size=(6000, 2))
+    metric = np.exp(-((xy[:, 0] - 0.5) ** 2 + (xy[:, 1] - 0.5) ** 2) / 0.02)
+    return xy, metric
+
+
+@pytest.fixture(scope="module")
+def executed_s3(cloud_2d, tmp_path_factory):
+    xy, metric = cloud_2d
+    tmp = tmp_path_factory.mktemp("s3_out")
+    s3 = SparseSpatialSampling(
+        xy, metric, [CubeGeometry("domain", True, [0, 0], [1, 1])],
+        save_path=str(tmp), save_name="t", uniform_levels=3, min_metric=0.8)
+    s3.execute_grid_generation()
+    return s3
+
+
+class TestRefinement:
+    def test_stopping_criterion_legitimate(self, executed_s3):
+        """The loop may stop at the metric target OR via relTol once
+        ``reach_at_least`` of the target is reached (reference semantics,
+        ``s_cube.py:263-284`` — tutorial 1 stops at 56% with a 75% target)."""
+        m = executed_s3.data_final_mesh["metric_per_iter"]
+        captured = m[-1]
+        assert captured >= 0.75 * 0.8  # reach_at_least * min_metric
+        assert captured >= 0.8 or abs(m[-1] - m[-2]) <= 1e-3 + 1e-9
+
+    def test_grid_arrays_consistent(self, executed_s3):
+        s3 = executed_s3
+        n_cells = s3.faces.shape[0]
+        assert s3.centers.shape == (n_cells, 2)
+        assert s3.levels.shape[0] == n_cells
+        assert s3.faces.shape[1] == 4
+        assert s3.faces.max() < s3.vertices.shape[0]
+        assert s3.faces.min() == 0  # node ids are compacted
+
+    def test_faces_reference_cell_corners(self, executed_s3):
+        """Every face's nodes must be the geometric corners of its cell."""
+        s3 = executed_s3
+        corners = s3.vertices[s3.faces]  # [N, 4, 2]
+        h = s3.size_initial_cell / np.exp2(s3.levels.astype(float)).reshape(-1, 1)
+        expected_center = corners.mean(axis=1)
+        assert np.allclose(expected_center, s3.centers, atol=1e-9)
+        widths = corners.max(axis=1) - corners.min(axis=1)
+        assert np.allclose(widths, np.repeat(h, 2, axis=-1), atol=1e-9)
+
+    def test_nodes_deduplicated(self, executed_s3):
+        """No two distinct node ids may share coordinates."""
+        nodes = executed_s3.vertices
+        uniq = np.unique(np.round(nodes, 12), axis=0)
+        assert uniq.shape[0] == nodes.shape[0]
+
+    def test_metric_monotone_nondecreasing(self, executed_s3):
+        m = executed_s3.data_final_mesh["metric_per_iter"]
+        assert all(b >= a - 1e-6 for a, b in zip(m, m[1:]))
+
+    def test_mesh_info_keys(self, executed_s3):
+        info = executed_s3.data_final_mesh
+        for key in ("n_cells", "iterations", "min_level", "max_level",
+                    "metric_per_iter", "cells_per_iter", "t_total", "t_uniform",
+                    "t_adaptive", "t_renumbering", "size_initial_cell"):
+            assert key in info
+
+    def test_checkpoint_files_written(self, executed_s3):
+        assert os.path.isfile(os.path.join(executed_s3.save_path, "mesh_info_t.pt"))
+        assert os.path.isfile(os.path.join(executed_s3.save_path, "s_cube_t.pt"))
+
+    def test_checkpoint_reload(self, executed_s3):
+        s3b = load_s_cube(os.path.join(executed_s3.save_path, "s_cube_t.pt"))
+        assert np.allclose(s3b.centers, executed_s3.centers)
+        assert np.array_equal(s3b.faces, executed_s3.faces)
+
+
+class TestRefinementModes:
+    def test_n_cells_max_mode(self, cloud_2d, tmp_path):
+        xy, metric = cloud_2d
+        s3 = SparseSpatialSampling(
+            xy, metric, [CubeGeometry("domain", True, [0, 0], [1, 1])],
+            save_path=str(tmp_path), save_name="m", uniform_levels=3,
+            n_cells_max=500)
+        s3.execute_grid_generation()
+        assert s3.faces.shape[0] <= 600  # close to but possibly slightly above
+
+    def test_geometry_masking_removes_cells(self, cloud_2d, tmp_path):
+        xy, metric = cloud_2d
+        hole = SphereGeometry("hole", False, [0.5, 0.5], 0.2)
+        inside = np.linalg.norm(xy - 0.5, axis=1) > 0.2
+        s3 = SparseSpatialSampling(
+            xy[inside], metric[inside],
+            [CubeGeometry("domain", True, [0, 0], [1, 1]), hole],
+            save_path=str(tmp_path), save_name="g", uniform_levels=4,
+            min_metric=0.6)
+        s3.execute_grid_generation()
+        # no cell may lie fully inside the hole (reference removal rule:
+        # an obstacle invalidates a cell only if ALL nodes are inside)
+        corners = s3.vertices[s3.faces]  # [N, 4, 2]
+        r = np.linalg.norm(corners - 0.5, axis=-1)
+        assert not (r < 0.2 - 1e-12).all(axis=1).any()
+
+    def test_geometry_refinement(self, cloud_2d, tmp_path):
+        xy, metric = cloud_2d
+        hole = SphereGeometry("hole", False, [0.5, 0.5], 0.2, refine=True,
+                              min_refinement_level=6)
+        inside = np.linalg.norm(xy - 0.5, axis=1) > 0.2
+        s3 = SparseSpatialSampling(
+            xy[inside], metric[inside],
+            [CubeGeometry("domain", True, [0, 0], [1, 1]), hole],
+            save_path=str(tmp_path), save_name="gr", uniform_levels=3,
+            min_metric=0.5)
+        s3.execute_grid_generation()
+        # cells adjacent to the hole surface must be at level >= 6
+        r = np.linalg.norm(s3.centers - 0.5, axis=1)
+        h = s3.size_initial_cell / np.exp2(s3.levels.astype(float)).squeeze()
+        near = np.abs(r - 0.2) < 0.5 * h  # center within half a cell of surface
+        assert near.any()
+        assert (s3.levels.squeeze()[near] >= 6).all()
+
+    def test_max_delta_level_constraint(self, cloud_2d, tmp_path):
+        xy, metric = cloud_2d
+        s3 = SparseSpatialSampling(
+            xy, metric, [CubeGeometry("domain", True, [0, 0], [1, 1])],
+            save_path=str(tmp_path), save_name="d", uniform_levels=2,
+            min_metric=0.75, max_delta_level=True)
+        s3.execute_grid_generation()
+        # verify 2:1 balance: check every pair of face-adjacent cells
+        levels = s3.levels.squeeze()
+        centers = s3.centers
+        h = s3.size_initial_cell / np.exp2(levels.astype(float))
+        # brute-force neighbor scan (grid is small)
+        from scipy.spatial import cKDTree
+        tree = cKDTree(centers)
+        pairs = tree.query_pairs(r=float(h.max()) * 1.5, output_type="ndarray")
+        d = np.abs(centers[pairs[:, 0]] - centers[pairs[:, 1]])
+        half_sum = ((h[pairs[:, 0]] + h[pairs[:, 1]]) / 2)[:, None]
+        touch = (d <= half_sum + 1e-12).all(axis=1)
+        adjacent = pairs[touch]
+        dl = np.abs(levels[adjacent[:, 0]].astype(int) - levels[adjacent[:, 1]].astype(int))
+        assert dl.max() <= 1
+
+    def test_input_validation(self, cloud_2d, tmp_path):
+        xy, metric = cloud_2d
+        with pytest.raises(AssertionError):
+            SparseSpatialSampling(xy, np.stack([metric, metric], -1),
+                                  [CubeGeometry("domain", True, [0, 0], [1, 1])],
+                                  save_path=str(tmp_path), save_name="x")
+        with pytest.raises(AssertionError):
+            SparseSpatialSampling(xy, metric, [], save_path=str(tmp_path), save_name="x")
+        with pytest.raises(AssertionError):
+            # no keep_inside=True geometry
+            SparseSpatialSampling(xy, metric,
+                                  [SphereGeometry("s", False, [0.5, 0.5], 0.1)],
+                                  save_path=str(tmp_path), save_name="x")
+
+
+class TestExport:
+    @pytest.fixture(scope="class")
+    def exported(self, cloud_2d, executed_s3):
+        xy, metric = cloud_2d
+        times = ["0.10", "0.20", "0.30"]
+        data = np.stack([metric * (1 + 0.1 * i) for i in range(3)], axis=-1)[:, None, :]
+        exp = ExportData(executed_s3, write_times=times)
+        exp.export(xy, data, "p", n_snapshots_total=3)
+        return executed_s3.save_path, times
+
+    def test_h5_and_xdmf_written(self, exported):
+        save_path, _ = exported
+        assert os.path.isfile(os.path.join(save_path, "t.h5"))
+        assert os.path.isfile(os.path.join(save_path, "t.xdmf"))
+
+    def test_dataloader_roundtrip(self, exported, executed_s3):
+        save_path, times = exported
+        dl = Dataloader(save_path, "t.h5")
+        assert dl.n_cells == executed_s3.faces.shape[0]
+        assert sorted(dl.write_times) == times
+        snap = dl.load_snapshot("p")
+        assert snap.shape == (dl.n_cells, 3)
+        assert dl.metric.shape[0] == dl.n_cells
+        assert (dl.weights > 0).all()
+
+    def test_interpolation_accuracy(self, exported, executed_s3, cloud_2d):
+        """Interpolated metric at cell centers must be close to the analytic
+        field evaluated there (smooth field, dense cloud)."""
+        save_path, _ = exported
+        dl = Dataloader(save_path, "t.h5")
+        centers = dl.vertices  # cell centers (reference naming)
+        exact = np.exp(-((centers[:, 0] - 0.5) ** 2
+                         + (centers[:, 1] - 0.5) ** 2) / 0.02)
+        interp = dl.load_snapshot("p", "0.10")[:, 0]
+        err = np.abs(interp - exact).mean()
+        assert err < 0.02, f"mean abs interpolation error {err}"
+
+    def test_xdmf_valid(self, exported):
+        save_path, times = exported
+        tree = ET.parse(os.path.join(save_path, "t.xdmf"))
+        time_vals = [t.get("Value") for t in tree.findall(".//Time")]
+        assert time_vals == times
+
+    def test_snapshot_batching(self, cloud_2d, executed_s3, tmp_path):
+        """Exporting in two batches must produce the same file contents as
+        one batch (incremental export bookkeeping)."""
+        xy, metric = cloud_2d
+        times = ["0.1", "0.2", "0.3", "0.4"]
+        data = np.stack([metric * (1 + i) for i in range(4)], axis=-1)[:, None, :]
+
+        # batched export into a new per-field file
+        exp = ExportData(executed_s3, write_times=times,
+                         write_new_file_for_each_field=True)
+        exp.export(xy, data[..., :2], "q", n_snapshots_total=4)
+        exp.export(xy, data[..., 2:], "q", n_snapshots_total=4)
+        dl = Dataloader(executed_s3.save_path, "t_q.h5")
+        snap = dl.load_snapshot("q", times)
+        ref = ExportData(executed_s3, write_times=times,
+                         write_new_file_for_each_field=True)
+        # single-shot reference into another field name
+        ref.export(xy, data, "q2", n_snapshots_total=4)
+        dl2 = Dataloader(executed_s3.save_path, "t_q2.h5")
+        assert np.allclose(snap, dl2.load_snapshot("q2", times))
+
+
+class TestSVD:
+    def test_weighted_svd_roundtrip(self):
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(300, 40)).astype(np.float32)
+        w = rng.uniform(0.5, 2.0, size=300).astype(np.float32)
+        s, u, v = compute_svd(a.copy(), w, rank=40)
+        centered = a - a.mean(-1, keepdims=True)
+        rec = (u * s) @ v.T
+        assert np.linalg.norm(rec - centered) / np.linalg.norm(centered) < 1e-4
+
+    def test_vector_field_svd_shapes(self):
+        rng = np.random.default_rng(4)
+        a = rng.normal(size=(200, 3, 30)).astype(np.float32)
+        w = rng.uniform(0.5, 2.0, size=200).astype(np.float32)
+        s, u, v = compute_svd(a.copy(), w, rank=10)
+        assert u.shape == (200, 3, 10)
+        assert s.shape == (10,)
+        assert v.shape == (30, 10)
+
+    def test_optimal_rank_truncates_noise(self):
+        rng = np.random.default_rng(5)
+        # rank-3 signal + tiny noise
+        u = rng.normal(size=(500, 3))
+        v = rng.normal(size=(3, 100))
+        a = (u * [10, 5, 2]) @ v + 1e-3 * rng.normal(size=(500, 100))
+        s, U, V = compute_svd(a.astype(np.float32), np.ones(500, dtype=np.float32))
+        assert 3 <= s.shape[0] <= 10
+
+    def test_write_svd_to_file(self, cloud_2d, executed_s3, tmp_path):
+        xy, metric = cloud_2d
+        times = [f"{t:.2f}" for t in np.arange(10) * 0.1]
+        rng = np.random.default_rng(6)
+        data = (metric[:, None, None]
+                * (1 + 0.3 * rng.normal(size=(1, 1, 10)))).astype(np.float32)
+        exp = ExportData(executed_s3, write_times=times,
+                         write_new_file_for_each_field=True)
+        exp.export(xy, data, "svdf", n_snapshots_total=10)
+        write_svd_s_cube_to_file("svdf", executed_s3.save_path, "t_svdf",
+                                 new_file=False, n_modes=3)
+        out = os.path.join(executed_s3.save_path, "t_svdf_svdf_svd.h5")
+        assert os.path.isfile(out)
+        from h5py import File
+        with File(out, "r") as f:
+            assert "mode_1" in f["constant"]
+            assert "s" in f["constant"]
+            assert "V" in f["constant"]
+            assert "cell_area" in f["constant"]
