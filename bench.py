@@ -1,0 +1,90 @@
+"""S³ end-to-end benchmark: refine + interpolate + weighted SVD.
+
+Workload mirrors the reference's tutorial-2 OAT15A configuration
+(``docs/source/tutorials/tutorial2_oat15_buffet.ipynb``: 2D slice, ~245k
+original cells, ``n_cells_max=25_000``, ``uniform_levels=6``) on a synthetic
+transonic-buffet-like metric field, so the refinement stage is directly
+comparable to the published reference timing of **26.93 s** (n_jobs=4,
+laptop-class CPU; BASELINE.md).  On top of the grid generation it
+interpolates 50 snapshots of one scalar field and computes a rank-20
+weighted SVD — the full pipeline of ``examples/s3_for_OAT15_airfoil.py``.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <end-to-end seconds>, "unit": "s",
+     "vs_baseline": <reference_refine_s / our_refine_s>, ...components}
+"""
+import json
+import tempfile
+import time
+
+import numpy as np
+
+
+BASELINE_REFINE_S = 26.93  # tutorial2 cell-10 output: 25k cells, n_jobs=4
+
+
+def synthetic_oat15(n_points: int = 245_000, seed: int = 0):
+    """Synthetic 2D transonic-buffet-like field: thin high-gradient shock
+    region + wake turbulence behind an 'airfoil' strip."""
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform([-0.5, -0.5], [1.5, 0.5], size=(n_points, 2))
+    x, y = xy[:, 0], xy[:, 1]
+    # shock: steep std(Ma) ridge at x ~ 0.45 above the airfoil
+    shock = np.exp(-((x - 0.45) ** 2) / 0.002) * np.exp(-(y - 0.05) ** 2 / 0.01)
+    # wake: decaying fluctuation region downstream
+    wake = (x > 0.9) * np.exp(-(x - 0.9) / 0.4) * np.exp(-y ** 2 / 0.02)
+    metric = (shock + 0.6 * wake + 0.02).astype(np.float64)
+    return xy, metric
+
+
+def main():
+    from sparsespatialsampling_tpu import (
+        SparseSpatialSampling, ExportData, CubeGeometry, Dataloader,
+        write_svd_s_cube_to_file)
+
+    xy, metric = synthetic_oat15()
+    domain = CubeGeometry("domain", True, [-0.5, -0.5], [1.5, 0.5])
+    tmp = tempfile.mkdtemp()
+
+    t0 = time.perf_counter()
+    s3 = SparseSpatialSampling(
+        xy, metric, [domain], save_path=tmp, save_name="bench",
+        uniform_levels=6, n_cells_max=25_000)
+    s3.execute_grid_generation()
+    t_refine = time.perf_counter() - t0
+
+    # 50 synthetic snapshots of a scalar field (shock oscillation)
+    n_snap = 50
+    phases = np.linspace(0, 2 * np.pi, n_snap, endpoint=False)
+    snaps = (metric[:, None] * (1 + 0.2 * np.sin(phases)[None, :])).astype(np.float32)
+    times = [f"{t:.4f}" for t in np.arange(n_snap) * 5e-4]
+
+    t1 = time.perf_counter()
+    exp = ExportData(s3, write_times=times)
+    exp.export(xy, snaps[:, None, :], "Ma", n_snapshots_total=n_snap)
+    t_interp = time.perf_counter() - t1
+
+    t2 = time.perf_counter()
+    write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20, n_modes=5)
+    t_svd = time.perf_counter() - t2
+
+    t_total = time.perf_counter() - t0
+    n_cells = int(s3.faces.shape[0])
+    captured = float(s3.data_final_mesh["metric_per_iter"][-1])
+
+    print(json.dumps({
+        "metric": "oat15_2d_synthetic e2e refine(25k cells)+interp(50 snaps)+svd wall",
+        "value": round(t_total, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_REFINE_S / t_refine, 3),
+        "t_refine_s": round(t_refine, 3),
+        "t_interp_s": round(t_interp, 3),
+        "t_svd_s": round(t_svd, 3),
+        "n_cells": n_cells,
+        "captured_metric": round(captured, 4),
+        "baseline_refine_s": BASELINE_REFINE_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,43 @@
-"""Array-namespace dispatch.
+"""Array-namespace dispatch + backend configuration.
 
 Geometry predicates are written against the shared numpy/jax.numpy API surface
 so the same code runs as pure numpy for small host-side calls (single-cell
 checks, tests) and as jax.numpy inside jitted batched validity kernels on TPU.
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache() -> None:
+    """Persist compiled executables across processes.
+
+    The refinement loop compiles a handful of power-of-two-bucketed shapes;
+    over a remote TPU each compile costs 10-40 s, so caching them on disk
+    makes every run after the first start hot.  Opt out with
+    ``S3_TPU_NO_COMPILATION_CACHE=1`` or by pre-setting
+    ``JAX_COMPILATION_CACHE_DIR``.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED or os.environ.get("S3_TPU_NO_COMPILATION_CACHE"):
+        return
+    _CACHE_ENABLED = True
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "s3_tpu_jax")
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except (OSError, AttributeError):
+            return
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except AttributeError:
+        pass
 
 
 def array_namespace(x):

@@ -137,8 +137,12 @@ class SamplingTree:
         self._n_neighbors = 8 if self._n_dimensions == 2 else 26
         self._knn = KNNIndex(vertices, values=target)
 
-        # geometry masking kernels (compiled lazily per shape bucket)
+        # geometry masking kernels (compiled lazily per shape bucket);
+        # per-geometry checkers are cached so the geometry-refinement loop
+        # reuses traced kernels instead of re-jitting every level
         self._validity = BatchedValidity(self._geometry, refine_geometry=False)
+        self._surface_checkers = {}
+        self._single_geo_validity = {}
 
         # flat cell arrays (append-only; index == creation order == tie-break)
         self._cap = 4096
@@ -300,9 +304,12 @@ class SamplingTree:
         (reference ``_remove_invalid_cells(..., _refine_geometry=True)``)."""
         if idx.size == 0:
             return idx
-        checker = BatchedValidity([geometry], refine_geometry=True)
+        key = id(geometry)
+        if key not in self._surface_checkers:
+            self._surface_checkers[key] = BatchedValidity([geometry],
+                                                          refine_geometry=True)
         nodes = self._nodes_of(self._coords[idx], self._level[idx])
-        return idx[checker(nodes)]
+        return idx[self._surface_checkers[key](nodes)]
 
     def _captured_metric(self) -> float:
         """Captured fraction = ||metric at alive leaf centers||₂ / ||target||₂.
@@ -517,7 +524,10 @@ class SamplingTree:
         for gi in geometry_ids:
             g = self._geometry[gi]
             logger.info(f"Starting refining geometry {g.name}.")
-            validity_g = BatchedValidity([g], refine_geometry=False)
+            if id(g) not in self._single_geo_validity:
+                self._single_geo_validity[id(g)] = BatchedValidity(
+                    [g], refine_geometry=False)
+            validity_g = self._single_geo_validity[id(g)]
 
             surface = self._find_surface_cells(self._alive_idx(), g)
             if surface.size == 0:

@@ -16,8 +16,12 @@ approximate k-NN) which keeps captured-metric parity with the reference's
 KD-tree. Exact distances for the selected neighbors are recomputed directly
 (``|q − p|``), avoiding the catastrophic cancellation of the expanded form.
 
-For reference-scale clouds (N ≈ 2.5e5, d ≤ 3) one query costs ~2·N·d flops —
-a few hundred kFLOP — so even millions of queries are tractable on one chip.
+Dispatch discipline (the tunnel-latency lesson): every public entry point is
+ONE fused jitted call — search + weights + regression — so a refinement
+iteration costs a single host↔device round trip.  Query counts are padded to
+power-of-two buckets so the number of distinct compiled shapes over a whole
+run is logarithmic, and compiled executables are persisted across processes
+via the JAX compilation cache (see ``_backend.enable_compilation_cache``).
 """
 from functools import partial
 
@@ -25,14 +29,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .._backend import enable_compilation_cache
+
+enable_compilation_cache()
+
 DEFAULT_TILE_N = 16384
 DEFAULT_TILE_Q = 1024
 
 
-@partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
-def _knn_search_padded(queries, points, points_sq, k: int,
-                       tile_n: int, tile_q: int):
-    """Top-k over pre-padded inputs.
+def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
+    """Top-k over pre-padded inputs (traced helper; not jitted itself).
 
     ``queries [Q, d]`` with Q a multiple of ``tile_q``; ``points [N, d]`` and
     ``points_sq [N]`` with N a multiple of ``tile_n`` (padding rows must have
@@ -75,8 +81,50 @@ def _knn_search_padded(queries, points, points_sq, k: int,
     return sq.reshape(-1, k), idx.reshape(-1, k)
 
 
+def _idw(sq, eps: float = 1e-12):
+    """Normalized inverse-distance weights from squared distances.
+
+    Matches the reference export path (``export.py:428-429``):
+    ``w = 1 / clamp(dist, 1e-12)`` normalized per row, which also reproduces
+    sklearn's exact-match special case (a zero-distance neighbor's clamped
+    weight dominates the row)."""
+    dists = jnp.sqrt(jnp.maximum(sq, 0.0))
+    w = 1.0 / jnp.clip(dists, min=eps)
+    return w / w.sum(axis=1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
+def _query_padded(queries, points, points_sq, k, tile_n, tile_q):
+    sq, idx = _search(queries, points, points_sq, k, tile_n, tile_q)
+    return jnp.sqrt(jnp.maximum(sq, 0.0)), idx
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
+def _weights_padded(queries, points, points_sq, k, tile_n, tile_q):
+    sq, idx = _search(queries, points, points_sq, k, tile_n, tile_q)
+    return _idw(sq), idx
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
+def _predict_padded(queries, points, points_sq, values, k, tile_n, tile_q):
+    """Fused search + inverse-distance regression: ONE device round trip."""
+    sq, idx = _search(queries, points, points_sq, k, tile_n, tile_q)
+    w = _idw(sq)
+    vals = values[idx]  # [Q, k] or [Q, k, C]
+    if vals.ndim == 3:
+        return jnp.einsum("qk,qkc->qc", w, vals)
+    return jnp.einsum("qk,qk->q", w, vals)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _bucket_pow2(n: int, minimum: int) -> int:
+    """Round up to a power-of-two multiple of ``minimum`` — bounds the number
+    of distinct compiled shapes to O(log N) over a whole run."""
+    n = max(n, minimum)
+    return minimum * (1 << int(-(-n // minimum) - 1).bit_length())
 
 
 class KNNIndex:
@@ -114,43 +162,39 @@ class KNNIndex:
         assert values.shape[0] == self.n_points
         self._values = jnp.asarray(values)
 
+    def _pad_queries(self, queries):
+        queries = np.asarray(queries) - self._shift
+        q = queries.shape[0]
+        q_pad = _bucket_pow2(q, self._tile_q)
+        qarr = np.zeros((q_pad, self.n_dim), dtype=np.float32)
+        qarr[:q] = queries
+        return jnp.asarray(qarr), q
+
     def query(self, queries, k: int):
         """Exact k-NN: returns ``(dists [Q, k], idx [Q, k])`` as jnp arrays."""
         assert k <= self.n_points, \
             f"k={k} exceeds the number of indexed points ({self.n_points})."
-        queries = np.asarray(queries) - self._shift
-        q = queries.shape[0]
-        q_pad = _round_up(max(q, 1), self._tile_q)
-        qarr = np.zeros((q_pad, self.n_dim), dtype=np.float32)
-        qarr[:q] = queries
-        sq, idx = _knn_search_padded(
-            jnp.asarray(qarr), self._points, self._points_sq, k,
-            self._tile_n, self._tile_q)
-        dists = jnp.sqrt(jnp.maximum(sq[:q], 0.0))
-        return dists, idx[:q]
+        qarr, q = self._pad_queries(queries)
+        dists, idx = _query_padded(qarr, self._points, self._points_sq, k,
+                                   self._tile_n, self._tile_q)
+        return dists[:q], idx[:q]
 
     def weights(self, queries, k: int):
-        """Inverse-distance weights (normalized): ``(w [Q, k], idx [Q, k])``.
-
-        Matches the reference export path (``export.py:428-429``):
-        ``w = 1 / clamp(dist, 1e-12)`` normalized per row, which also
-        reproduces sklearn's exact-match special case (a zero-distance
-        neighbor's clamped weight dominates the row).
-        """
-        dists, idx = self.query(queries, k)
-        w = 1.0 / jnp.clip(dists, min=1e-12)
-        w = w / w.sum(axis=1, keepdims=True)
-        return w, idx
+        """Normalized inverse-distance weights: ``(w [Q, k], idx [Q, k])``."""
+        qarr, q = self._pad_queries(queries)
+        w, idx = _weights_padded(qarr, self._points, self._points_sq, k,
+                                 self._tile_n, self._tile_q)
+        return w[:q], idx[:q]
 
     def predict(self, queries, k: int):
         """Inverse-distance-weighted regression at the query points.
 
         Equivalent to sklearn ``KNeighborsRegressor(n_neighbors=k,
-        weights="distance").predict`` on the attached values.
+        weights="distance").predict`` on the attached values — fused into a
+        single device call.
         """
         assert self._values is not None, "No values attached; call set_values() first."
-        w, idx = self.weights(queries, k)
-        vals = self._values[idx]  # [Q, k] or [Q, k, C]
-        if vals.ndim == 3:
-            return jnp.einsum("qk,qkc->qc", w, vals)
-        return jnp.einsum("qk,qk->q", w, vals)
+        qarr, q = self._pad_queries(queries)
+        pred = _predict_padded(qarr, self._points, self._points_sq, self._values,
+                               k, self._tile_n, self._tile_q)
+        return pred[:q]

@@ -1,0 +1,7 @@
+from .mesh import make_mesh, default_mesh
+from .interpolate import sharded_interpolate
+from .svd import distributed_rsvd
+from .knn import ShardedKNNIndex
+
+__all__ = ["make_mesh", "default_mesh", "sharded_interpolate",
+           "distributed_rsvd", "ShardedKNNIndex"]

@@ -1,0 +1,109 @@
+"""Multi-chip exact k-NN: point cloud sharded over the cell axis.
+
+Each device holds a shard of the indexed points, computes its local top-k
+with the same MXU-tiled score (``ops/knn.py``), then the per-device
+candidates are ``all_gather``-ed (k·n_dev rows — tiny) and reduced to the
+global top-k.  Queries are replicated; the heavy term (the [Q, N] score
+matrix) is distributed, so both memory and FLOPs scale with 1/n_dev.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .mesh import CELL_AXIS, pad_to_multiple
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _local_topk(queries, points, points_sq, k: int):
+    """Exact local top-k by the expanded score (monotone in distance)."""
+    scores = points_sq[None, :] - 2.0 * jnp.dot(
+        queries, points.T, preferred_element_type=jnp.float32)
+    top_s, top_i = jax.lax.top_k(-scores, k)
+    return top_s, top_i
+
+
+class ShardedKNNIndex:
+    """Exact k-NN over a point cloud sharded across a 1-D device mesh."""
+
+    def __init__(self, points, mesh: Mesh, values=None):
+        points = np.asarray(points, dtype=np.float32)
+        self.n_points, self.n_dim = points.shape
+        self.mesh = mesh
+        self.n_shards = mesh.devices.size
+
+        self._shift = points.mean(axis=0)
+        centered = points - self._shift
+
+        padded = pad_to_multiple(centered, self.n_shards)
+        self._n_padded = padded.shape[0]
+        sq = np.full(self._n_padded, np.inf, dtype=np.float32)
+        sq[:self.n_points] = (centered.astype(np.float64) ** 2).sum(axis=1)
+
+        shard = NamedSharding(mesh, P(CELL_AXIS))
+        self._points = jax.device_put(jnp.asarray(padded), shard)
+        self._points_sq = jax.device_put(jnp.asarray(sq), shard)
+        self._values = None
+        if values is not None:
+            self.set_values(values)
+
+        self._query_fn = None
+        self._k = None
+
+    def set_values(self, values) -> None:
+        values = np.asarray(values, dtype=np.float32)
+        assert values.shape[0] == self.n_points
+        self._values = jnp.asarray(values)  # replicated (small)
+
+    def _build(self, k: int):
+        n_local = self._n_padded // self.n_shards
+
+        def kernel(queries, points, points_sq):
+            # per-shard local top-k with global indices
+            shard_idx = jax.lax.axis_index(CELL_AXIS)
+            top_s, top_i = _local_topk(queries, points, points_sq, k)
+            top_i = top_i + shard_idx * n_local
+            # gather all shards' candidates: [n_shards * k] per query
+            all_s = jax.lax.all_gather(top_s, CELL_AXIS, axis=1, tiled=True)
+            all_i = jax.lax.all_gather(top_i, CELL_AXIS, axis=1, tiled=True)
+            best_s, sel = jax.lax.top_k(all_s, k)
+            best_i = jnp.take_along_axis(all_i, sel, axis=1)
+            return best_s, best_i
+
+        fn = shard_map(
+            kernel, mesh=self.mesh,
+            in_specs=(P(), P(CELL_AXIS), P(CELL_AXIS)),
+            out_specs=(P(), P()), check_vma=False)
+        self._query_fn = jax.jit(fn)
+        self._k = k
+
+    def query(self, queries, k: int):
+        """Exact k-NN: ``(dists [Q, k], idx [Q, k])`` (numpy)."""
+        if self._query_fn is None or self._k != k:
+            self._build(k)
+        q = np.asarray(queries, dtype=np.float32) - self._shift
+        _, idx = self._query_fn(jnp.asarray(q), self._points, self._points_sq)
+        idx = np.asarray(idx)
+        # exact distances recomputed host-side on the selected neighbors only
+        pts = np.asarray(self._points)
+        delta = q[:, None, :] - pts[idx]
+        dists = np.sqrt(np.maximum((delta * delta).sum(-1), 0.0))
+        return dists, idx
+
+    def weights(self, queries, k: int):
+        """Normalized inverse-distance weights (sklearn semantics)."""
+        dists, idx = self.query(queries, k)
+        w = 1.0 / np.clip(dists, 1e-12, None)
+        w /= w.sum(axis=1, keepdims=True)
+        return w, idx
+
+    def predict(self, queries, k: int):
+        assert self._values is not None
+        w, idx = self.weights(queries, k)
+        vals = np.asarray(self._values)[idx]
+        if vals.ndim == 3:
+            return np.einsum("qk,qkc->qc", w, vals)
+        return np.einsum("qk,qk->q", w, vals)
