@@ -11,8 +11,9 @@ from .version import __version__
 from .sparse_spatial_sampling import SparseSpatialSampling, list_geometries, load_s_cube
 from .export import ExportData, Fields
 from .io import Dataloader, Datawriter, XDMFWriter
-from .utils import (compute_svd, write_svd_s_cube_to_file, load_foam_data,
-                    load_original_Foam_fields, export_openfoam_fields)
+from .utils import (compute_svd, compute_dmd, write_svd_s_cube_to_file,
+                    load_foam_data, load_original_Foam_fields,
+                    export_openfoam_fields)
 from .geometry import (GeometryObject, CubeGeometry, SphereGeometry, CylinderGeometry3D,
                        TriangleGeometry, PrismGeometry3D, TetrahedronGeometry3D,
                        PyramidGeometry3D, GeometryCoordinates2D, GeometrySTL3D)
@@ -22,7 +23,7 @@ __all__ = [
     "SparseSpatialSampling", "list_geometries", "load_s_cube",
     "ExportData", "Fields",
     "Dataloader", "Datawriter", "XDMFWriter",
-    "compute_svd", "write_svd_s_cube_to_file", "load_foam_data",
+    "compute_svd", "compute_dmd", "write_svd_s_cube_to_file", "load_foam_data",
     "load_original_Foam_fields", "export_openfoam_fields",
     "GeometryObject", "CubeGeometry", "SphereGeometry", "CylinderGeometry3D",
     "TriangleGeometry", "PrismGeometry3D", "TetrahedronGeometry3D",

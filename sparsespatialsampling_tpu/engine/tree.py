@@ -28,7 +28,7 @@ run on the accelerator with bucketed static shapes.
 """
 import logging
 import operator
-from functools import reduce
+from functools import partial, reduce
 from time import time
 from typing import Union
 
@@ -64,27 +64,86 @@ class BatchedValidity:
     Replaces the reference's per-cell ``pool.map(_check_cell_validity, ...)``
     (``s_cube.py:705-707``, ``:1816-1837``) with one fused device kernel: a
     cell is invalid if ANY geometry flags it.
+
+    With ``pre_select=True``, expensive geometries (STL winding numbers,
+    polygon crossing tests — reference dispatch ``s_cube.py:1832-1834``) are
+    evaluated only on the cells whose bounding-box relation cannot already
+    decide the outcome; the rest is resolved by the vectorized bbox test
+    (the batched analog of the reference's ``pre_check_cell``).
     """
 
-    def __init__(self, geometries, refine_geometry: bool = False):
-        self._geometries = list(geometries)
+    _EXPENSIVE_TYPES = ("STL", "coord_2D")
+
+    def __init__(self, geometries, refine_geometry: bool = False,
+                 pre_select: bool = False):
         self._refine_geometry = refine_geometry
+        self._cheap = []
+        self._expensive = []
+        for g in geometries:
+            if (pre_select and g.type in self._EXPENSIVE_TYPES
+                    and g.bounding_box() is not None):
+                self._expensive.append(g)
+            else:
+                self._cheap.append(g)
 
-        def fn(nodes):
-            flags = [g.check_cells(nodes, refine_geometry) for g in self._geometries]
-            return reduce(operator.or_, flags)
+        if self._cheap:
+            cheap = list(self._cheap)
 
-        self._fn = jax.jit(fn)
+            def fn(nodes):
+                flags = [g.check_cells(nodes, refine_geometry) for g in cheap]
+                return reduce(operator.or_, flags)
+
+            self._cheap_fn = jax.jit(fn)
+        else:
+            self._cheap_fn = None
+
+        self._expensive_fns = [
+            jax.jit(partial(g.check_cells, refine_geometry=refine_geometry))
+            for g in self._expensive]
+
+    def _run_padded(self, fn, nodes: np.ndarray) -> np.ndarray:
+        m = nodes.shape[0]
+        mp = _bucket(m)
+        padded = np.zeros((mp,) + nodes.shape[1:], dtype=np.float32)
+        padded[:m] = nodes
+        return np.asarray(fn(jnp.asarray(padded)))[:m]
 
     def __call__(self, nodes: np.ndarray) -> np.ndarray:
         """``nodes [M, 2^d, d]`` (host) → bool ``[M]`` (host)."""
         m = nodes.shape[0]
         if m == 0:
             return np.zeros(0, dtype=bool)
-        mp = _bucket(m)
-        padded = np.zeros((mp,) + nodes.shape[1:], dtype=np.float32)
-        padded[:m] = nodes
-        return np.asarray(self._fn(jnp.asarray(padded)))[:m]
+
+        flags = (self._run_padded(self._cheap_fn, nodes) if self._cheap_fn
+                 else np.zeros(m, dtype=bool))
+
+        for g, fn in zip(self._expensive, self._expensive_fns):
+            lower, upper = g.bounding_box()
+            in_bbox = np.logical_and(nodes >= lower, nodes <= upper).all(-1)  # [M, 2^d]
+            # decide per polarity which cells the bbox already settles
+            # (vectorized reference pre_check_cell, geometry_STL_3d.py:105-124)
+            if not self._refine_geometry:
+                if not g.keep_inside:   # obstacle removal: all nodes inside
+                    candidates = in_bbox.all(-1)
+                    default = False
+                else:                   # domain removal: no node inside
+                    candidates = in_bbox.any(-1)
+                    default = True
+            else:
+                if not g.keep_inside:   # obstacle surface: any node inside
+                    candidates = in_bbox.any(-1)
+                    default = False
+                else:                   # domain surface: any node outside
+                    candidates = in_bbox.all(-1)
+                    default = True
+
+            g_flags = np.full(m, default, dtype=bool)
+            cand_idx = np.nonzero(candidates)[0]
+            if cand_idx.size:
+                g_flags[cand_idx] = self._run_padded(fn, nodes[cand_idx])
+            flags = flags | g_flags
+
+        return flags
 
 
 class SamplingTree:
@@ -140,7 +199,8 @@ class SamplingTree:
         # geometry masking kernels (compiled lazily per shape bucket);
         # per-geometry checkers are cached so the geometry-refinement loop
         # reuses traced kernels instead of re-jitting every level
-        self._validity = BatchedValidity(self._geometry, refine_geometry=False)
+        self._validity = BatchedValidity(self._geometry, refine_geometry=False,
+                                         pre_select=pre_select)
         self._surface_checkers = {}
         self._single_geo_validity = {}
 
@@ -306,8 +366,8 @@ class SamplingTree:
             return idx
         key = id(geometry)
         if key not in self._surface_checkers:
-            self._surface_checkers[key] = BatchedValidity([geometry],
-                                                          refine_geometry=True)
+            self._surface_checkers[key] = BatchedValidity(
+                [geometry], refine_geometry=True, pre_select=self._pre_select)
         nodes = self._nodes_of(self._coords[idx], self._level[idx])
         return idx[self._surface_checkers[key](nodes)]
 
@@ -526,7 +586,7 @@ class SamplingTree:
             logger.info(f"Starting refining geometry {g.name}.")
             if id(g) not in self._single_geo_validity:
                 self._single_geo_validity[id(g)] = BatchedValidity(
-                    [g], refine_geometry=False)
+                    [g], refine_geometry=False, pre_select=self._pre_select)
             validity_g = self._single_geo_validity[id(g)]
 
             surface = self._find_surface_cells(self._alive_idx(), g)

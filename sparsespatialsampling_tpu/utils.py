@@ -15,6 +15,7 @@ import numpy as np
 from .io.data import Dataloader, Datawriter
 from .io.const import CONST
 from .ops.svd import economy_svd, randomized_svd, optimal_rank
+from .ops.dmd import exact_dmd
 
 logger = logging.getLogger(__name__)
 
@@ -120,6 +121,42 @@ def write_svd_s_cube_to_file(field_names: Union[list, str], load_dir: str, file_
         datawriter.write_data("s", group=CONST, data=s)
         datawriter.write_data("cell_area", group=CONST, data=dataloader.weights)
         datawriter.write_xdmf_file()
+
+
+def compute_dmd(data_matrix, cell_area=None, rank: int = None, dt: float = 1.0):
+    """Exact DMD of an S³ snapshot matrix, optionally √area-weighted like
+    :func:`compute_svd` (the weighting makes mode energies area-consistent on
+    the adaptive grid; the returned modes are un-weighted).
+
+    Beyond-reference capability: the reference needs flowtorch for DMD
+    (``post_processing/compare_dmd_OAT.py:17``); here it is native.
+
+    :param data_matrix: ``[N_cells, N_snap]`` or ``[N_cells, N_comp, N_snap]``
+    :param cell_area: optional ``[N_cells]`` areas/volumes for weighting
+    :param rank: truncation rank (None → optimal)
+    :param dt: snapshot time-step size
+    :return: dict with eigenvalues, modes, frequencies, growth_rates,
+        amplitudes, rank (see :func:`ops.dmd.exact_dmd`)
+    """
+    data_matrix = np.array(data_matrix, dtype=np.float32, copy=True)
+    shape = data_matrix.shape
+    if data_matrix.ndim == 3:
+        stacked = data_matrix.reshape(shape[0] * shape[1], shape[-1])
+    else:
+        stacked = data_matrix
+
+    if cell_area is not None:
+        sqrt_area = np.sqrt(np.asarray(cell_area, dtype=np.float32))
+        rows = np.tile(sqrt_area, shape[1]) if data_matrix.ndim == 3 else sqrt_area
+        stacked = stacked * rows[:, None]
+
+    result = exact_dmd(stacked, dt=dt, rank=rank)
+
+    if cell_area is not None:
+        result["modes"] = result["modes"] / rows[:, None]
+    if data_matrix.ndim == 3:
+        result["modes"] = result["modes"].reshape(shape[0], shape[1], -1)
+    return result
 
 
 # --------------------------------------------------------------------------- #

@@ -281,3 +281,55 @@ class TestSVD:
             assert "s" in f["constant"]
             assert "V" in f["constant"]
             assert "cell_area" in f["constant"]
+
+
+class TestPreSelect:
+    def test_pre_select_equivalent_grid(self, cloud_2d, tmp_path):
+        """pre_select is a pure optimization: the generated grid must be
+        identical with and without it (reference contract)."""
+        from sparsespatialsampling_tpu import GeometryCoordinates2D
+        xy, metric = cloud_2d
+        square = np.asarray([[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6]])
+        outside = ~(np.logical_and(xy > 0.4, xy < 0.6).all(1))
+        grids = []
+        for pre in (False, True):
+            geo = [CubeGeometry("domain", True, [0, 0], [1, 1]),
+                   GeometryCoordinates2D("sq", False, square)]
+            s3 = SparseSpatialSampling(
+                xy[outside], metric[outside], geo, save_path=str(tmp_path),
+                save_name=f"ps{pre}", uniform_levels=4, min_metric=0.6,
+                pre_select_cells=pre)
+            s3.execute_grid_generation()
+            grids.append((s3.centers, s3.levels))
+        np.testing.assert_allclose(grids[0][0], grids[1][0])
+        np.testing.assert_array_equal(grids[0][1], grids[1][1])
+
+
+class TestDMD:
+    def test_dmd_recovers_oscillation_frequency(self):
+        """A single traveling-wave dataset must yield a dominant DMD mode at
+        the seeded frequency with ~zero growth rate."""
+        from sparsespatialsampling_tpu import compute_dmd
+        rng = np.random.default_rng(7)
+        n_pts, n_snap, dt, f0 = 400, 64, 0.01, 5.0
+        x = np.linspace(0, 1, n_pts)
+        t = np.arange(n_snap) * dt
+        data = (np.sin(2 * np.pi * (3 * x[:, None] - f0 * t[None, :]))
+                + 0.01 * rng.normal(size=(n_pts, n_snap))).astype(np.float32)
+        res = compute_dmd(data, rank=6, dt=dt)
+        # dominant nonzero frequency ~ f0
+        amp = np.abs(res["amplitudes"])
+        freqs = np.abs(res["frequencies"])
+        dominant = freqs[np.argsort(-amp)[:2]]
+        assert np.any(np.abs(dominant - f0) < 0.3), (dominant, f0)
+        idx = np.argmax(amp)
+        assert abs(res["growth_rates"][idx]) < 1.0
+
+    def test_dmd_weighted_shapes(self):
+        from sparsespatialsampling_tpu import compute_dmd
+        rng = np.random.default_rng(8)
+        data = rng.normal(size=(200, 2, 30)).astype(np.float32)
+        area = rng.uniform(0.5, 2.0, size=200).astype(np.float32)
+        res = compute_dmd(data, cell_area=area, rank=5)
+        assert res["modes"].shape == (200, 2, 5)
+        assert res["eigenvalues"].shape == (5,)
