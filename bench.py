@@ -50,6 +50,7 @@ def main():
     s3 = SparseSpatialSampling(
         xy, metric, [domain], save_path=tmp, save_name="bench",
         uniform_levels=6, n_cells_max=25_000)
+    t_init = time.perf_counter() - t0
     s3.execute_grid_generation()
     t_refine = time.perf_counter() - t0
 
@@ -78,6 +79,9 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_REFINE_S / t_refine, 3),
         "t_refine_s": round(t_refine, 3),
+        "t_init_s": round(t_init, 3),
+        "t_uniform_s": round(s3.data_final_mesh["t_uniform"], 3),
+        "t_adaptive_s": round(s3.data_final_mesh["t_adaptive"], 3),
         "t_interp_s": round(t_interp, 3),
         "t_svd_s": round(t_svd, 3),
         "n_cells": n_cells,

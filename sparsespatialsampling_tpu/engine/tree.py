@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.knn import KNNIndex
+from ..ops.knn import KNNIndex, _search, _idw
 from ..ops import morton
 
 logger = logging.getLogger(__name__)
@@ -203,6 +203,12 @@ class SamplingTree:
                                          pre_select=pre_select)
         self._surface_checkers = {}
         self._single_geo_validity = {}
+        # fused per-epoch kernel (gain + metric + validity in ONE device call
+        # and ONE packed readback — device→host syncs dominate the adaptive
+        # loop on remote TPUs); built lazily after gain0 exists. Disabled when
+        # pre_select routes expensive geometries through the host bbox filter.
+        self._epoch_fn = None
+        self._epoch_fusable = not self._validity._expensive
 
         # flat cell arrays (append-only; index == creation order == tie-break)
         self._cap = 4096
@@ -313,7 +319,7 @@ class SamplingTree:
         d = self._n_dimensions
         queries = np.concatenate(
             [middle[None, :], middle[None, :] + self._dirs * 0.25 * self._width], axis=0)
-        pred = np.asarray(self._knn.predict(queries, self._n_neighbors), dtype=np.float64)
+        pred = self._knn.predict_host(queries, self._n_neighbors).astype(np.float64)
 
         # gain of the initial cell (level 0): (width/2)^d * sum |m0 - m_child|
         # (reference ``s_cube.py:374-381``); used as the gain normalizer
@@ -347,6 +353,80 @@ class SamplingTree:
         self._gain[idx] = ((self._width / np.exp2(lvl)) ** d
                            * sum_delta / (2 ** d) / self._gain0)
         self._metric_arr[idx] = pred[:, 0]
+
+    def _build_epoch_fn(self):
+        """Build the fused epoch kernel: metric prediction at own + child
+        centers (exact k-NN), gain formula, and geometry validity — one jitted
+        call returning a packed ``[M, 3]`` array (gain, metric, invalid).
+
+        The k-NN arrays and all workload scalars are *arguments*, not
+        closures: closed-over device arrays would be baked into the HLO as
+        constants, bloating compile time and making the persistent-cache key
+        workload-specific instead of shape-specific."""
+        d = self._n_dimensions
+        k = self._n_neighbors
+        geometries = list(self._geometry)
+        knn = self._knn
+        tile_n, tile_q = knn._tile_n, knn._tile_q
+        n_children = 1 + 2 ** d
+
+        def fn(coords, level, lo, width, gain0, dirs, offsets, shift,
+               points, points_sq, values):
+            # coords [M, d] f32 lattice ints, level [M] f32
+            h = width / jnp.exp2(level)                           # [M]
+            centers = lo + (coords + 0.5) * h[:, None]            # [M, d]
+            child_c = centers[:, None, :] + dirs[None, :, :] * (0.25 * h)[:, None, None]
+            queries = jnp.concatenate([centers[:, None, :], child_c], axis=1)
+            qflat = (queries - shift).reshape(-1, d)              # [M*C, d]
+            sq, idx = _search(qflat, points, points_sq, k, tile_n, tile_q)
+            w = _idw(sq)
+            pred = jnp.einsum("qk,qk->q", w, values[idx]).reshape(-1, n_children)
+            sum_delta = jnp.abs(pred[:, :1] - pred[:, 1:]).sum(axis=1)
+            gain = h ** d * sum_delta / (2 ** d) / gain0
+
+            nodes = lo + (coords[:, None, :] + offsets[None, :, :]) * h[:, None, None]
+            flags = [g.check_cells(nodes, False) for g in geometries]
+            invalid = reduce(operator.or_, flags)
+            return jnp.stack([gain, pred[:, 0], invalid.astype(jnp.float32)], axis=1)
+
+        jitted = jax.jit(fn)
+        args = (jnp.asarray(self._lo, dtype=jnp.float32),
+                jnp.float32(self._width), jnp.float32(self._gain0),
+                jnp.asarray(self._dirs, dtype=jnp.float32),
+                jnp.asarray(self._offsets, dtype=jnp.float32),
+                jnp.asarray(knn._shift, dtype=jnp.float32),
+                knn._points, knn._points_sq, knn._values)
+        self._epoch_fn = lambda coords, level: jitted(coords, level, *args)
+
+    def _process_new_cells(self, idx: np.ndarray) -> None:
+        """Gain + metric + validity for newly created cells.
+
+        Fused single-dispatch path when possible; falls back to the separate
+        gain/validity calls for pre-selected expensive geometries."""
+        if idx.size == 0:
+            return
+        if not self._epoch_fusable:
+            self._update_gain(idx)
+            self._remove_invalid_cells(idx)
+            return
+        if self._epoch_fn is None:
+            self._build_epoch_fn()
+
+        m = idx.size
+        # M*(1+2^d) must stay a multiple of the k-NN query tile: pow2 ≥ 1024
+        mp = _bucket(m, minimum=1024)
+        d = self._n_dimensions
+        coords = np.zeros((mp, d), dtype=np.float32)
+        coords[:m] = self._coords[idx]
+        level = np.zeros(mp, dtype=np.float32)
+        level[:m] = self._level[idx]
+
+        out = np.asarray(self._epoch_fn(jnp.asarray(coords), jnp.asarray(level)))[:m]
+        self._gain[idx] = out[:, 0]
+        self._metric_arr[idx] = out[:, 1]
+        dead = idx[out[:, 2] > 0.5]
+        self._alive[dead] = False
+        self._gain[dead] = 0.0
 
     def _remove_invalid_cells(self, idx: np.ndarray) -> None:
         """Mask out newly created cells inside geometries / outside the domain
@@ -410,9 +490,8 @@ class SamplingTree:
             leaves = self._alive_idx()
             logger.info(f"\tStarting iteration no. {j}, N_cells = {leaves.size}")
             children = self._split(leaves)
-            self._remove_invalid_cells(children)
+            self._process_new_cells(children)
             self._current_min_level += 1
-        self._update_gain(self._alive_idx())
         logger.info("Finished uniform refinement.")
         self._times["t_end_uniform"] = time()
 
@@ -540,8 +619,7 @@ class SamplingTree:
                 selected = self._expand_delta_level(selected)
 
             children = self._split(selected)
-            self._update_gain(children)
-            self._remove_invalid_cells(children)
+            self._process_new_cells(children)
 
             if self._n_cells_max is None:
                 self._captured_metric()

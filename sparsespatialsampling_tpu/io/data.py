@@ -105,9 +105,13 @@ class Dataloader:
     def field_names(self) -> dict:
         """Dict mapping each time step to the list of fields stored at cell centers."""
         if self._field_names is None:
+            # strip the trailing "_center" suffix only (the reference's
+            # ``split("_")[0]`` truncates field names containing underscores,
+            # ``data.py:148``; this keeps such names intact)
             with File(join(self._load_path, self._file_name), "r") as f:
                 self._field_names = {
-                    k: [name.split("_")[0] for name in f[f"{DATA}/{k}"].keys() if name.endswith("center")]
+                    k: [name[:-len("_center")] for name in f[f"{DATA}/{k}"].keys()
+                        if name.endswith("_center")]
                     for k in f[DATA].keys()
                 }
         return self._field_names

@@ -35,16 +35,27 @@ def interpolate_data(weights, idx, data, chunk_size: int = 100_000) -> np.ndarra
     :param chunk_size: number of query points interpolated per device call
     :return: ``[M, C, S]`` interpolated data (numpy, float32)
     """
-    weights = jnp.asarray(weights, dtype=jnp.float32)
-    idx = jnp.asarray(idx, dtype=jnp.int32)
+    weights = np.asarray(weights, dtype=np.float32)
+    idx = np.asarray(idx, dtype=np.int32)
     data = jnp.asarray(np.asarray(data), dtype=jnp.float32)
     m = weights.shape[0]
 
+    def run(w_np, i_np):
+        # pow2-pad the query axis: bounds distinct compiled shapes to
+        # O(log M) across runs with varying grid sizes
+        n = w_np.shape[0]
+        n_pad = max(256, 1 << int(n - 1).bit_length()) if n > 1 else 256
+        w_p = np.zeros((n_pad, w_np.shape[1]), dtype=np.float32)
+        w_p[:n] = w_np
+        i_p = np.zeros((n_pad, i_np.shape[1]), dtype=np.int32)
+        i_p[:n] = i_np
+        return np.asarray(_interp_chunk(jnp.asarray(w_p), jnp.asarray(i_p), data))[:n]
+
     if m <= chunk_size:
-        return np.asarray(_interp_chunk(weights, idx, data))
+        return run(weights, idx)
 
     out = np.empty((m,) + data.shape[1:], dtype=np.float32)
     for lo in range(0, m, chunk_size):
         hi = min(lo + chunk_size, m)
-        out[lo:hi] = np.asarray(_interp_chunk(weights[lo:hi], idx[lo:hi], data))
+        out[lo:hi] = run(weights[lo:hi], idx[lo:hi])
     return out

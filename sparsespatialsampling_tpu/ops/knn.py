@@ -152,6 +152,7 @@ class KNNIndex:
 
         self._points = jnp.asarray(pts, dtype=dtype)
         self._points_sq = jnp.asarray(sq, dtype=jnp.float32)
+        self._points_host = centered  # for predict_host (tiny-query fast path)
         self._values = None
         if values is not None:
             self.set_values(values)
@@ -161,6 +162,7 @@ class KNNIndex:
         values = np.asarray(values, dtype=np.float32)
         assert values.shape[0] == self.n_points
         self._values = jnp.asarray(values)
+        self._values_host = values
 
     def _pad_queries(self, queries):
         queries = np.asarray(queries) - self._shift
@@ -198,3 +200,17 @@ class KNNIndex:
         pred = _predict_padded(qarr, self._points, self._points_sq, self._values,
                                k, self._tile_n, self._tile_q)
         return pred[:q]
+
+    def predict_host(self, queries, k: int) -> np.ndarray:
+        """Host-side exact variant for tiny query counts (e.g. the root-cell
+        gain, 1 + 2^d queries): a numpy brute-force pass is microseconds and
+        avoids a device round trip entirely."""
+        assert self._values is not None, "No values attached; call set_values() first."
+        q = np.asarray(queries, dtype=np.float64) - self._shift
+        d2 = ((q[:, None, :] - self._points_host[None, :, :]) ** 2).sum(-1)
+        idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        dists = np.sqrt(np.take_along_axis(d2, idx, axis=1))
+        w = 1.0 / np.clip(dists, 1e-12, None)
+        w /= w.sum(axis=1, keepdims=True)
+        vals = self._values_host[idx]
+        return (w * vals).sum(axis=1)

@@ -41,9 +41,19 @@ def _svd_device(a):
 
 def economy_svd(a) -> tuple:
     """Exact thin SVD ``a = U diag(s) Vᵀ``; returns numpy ``(U, s, V)``
-    with V the right singular vectors as columns (``V[:, i]``)."""
-    u, s, vt = _svd_device(jnp.asarray(a, dtype=jnp.float32))
-    return np.asarray(u), np.asarray(s), np.asarray(vt).T
+    with V the right singular vectors as columns (``V[:, i]``).
+
+    The row axis is zero-padded to a power of two before the device call —
+    appended zero rows change neither the singular values nor V, and bound
+    the number of distinct compiled shapes across runs."""
+    a = np.asarray(a, dtype=np.float32)
+    m, n = a.shape
+    if m > n:
+        m_pad = max(256, 1 << int(m - 1).bit_length())
+        if m_pad != m:
+            a = np.concatenate([a, np.zeros((m_pad - m, n), dtype=a.dtype)])
+    u, s, vt = _svd_device(jnp.asarray(a))
+    return np.asarray(u)[:m], np.asarray(s), np.asarray(vt).T
 
 
 @partial(jax.jit, static_argnames=("rank", "n_oversample", "n_iter"))
