@@ -1,0 +1,101 @@
+"""3D end-to-end pipeline tests (octree path, k=26, hexahedral export)."""
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from sparsespatialsampling_tpu import (
+    SparseSpatialSampling, ExportData, CubeGeometry, CylinderGeometry3D,
+    SphereGeometry, Dataloader, write_svd_s_cube_to_file)
+
+
+@pytest.fixture(scope="module")
+def cloud_3d():
+    rng = np.random.default_rng(10)
+    xyz = rng.uniform([0, 0, 0], [1, 1, 0.5], size=(20000, 3))
+    r = np.linalg.norm(xyz[:, :2] - [0.3, 0.5], axis=1)
+    keep = r > 0.1
+    xyz = xyz[keep]
+    metric = (np.exp(-np.maximum(xyz[:, 0] - 0.3, 0) / 0.5)
+              * np.exp(-((xyz[:, 1] - 0.5) ** 2) / 0.05) + 0.02)
+    return xyz, metric
+
+
+@pytest.fixture(scope="module")
+def executed_3d(cloud_3d, tmp_path_factory):
+    xyz, metric = cloud_3d
+    tmp = tmp_path_factory.mktemp("s3_3d")
+    s3 = SparseSpatialSampling(
+        xyz, metric,
+        [CubeGeometry("domain", True, [0, 0, 0], [1, 1, 0.5]),
+         CylinderGeometry3D("cyl", False, [[0.3, 0.5, 0.0], [0.3, 0.5, 0.5]], 0.1)],
+        save_path=str(tmp), save_name="t3", uniform_levels=3, min_metric=0.7)
+    s3.execute_grid_generation()
+    return s3
+
+
+class TestRefine3D:
+    def test_grid_shapes(self, executed_3d):
+        s3 = executed_3d
+        n = s3.faces.shape[0]
+        assert s3.faces.shape == (n, 8)       # hexahedra
+        assert s3.centers.shape == (n, 3)
+        assert s3.vertices.shape[1] == 3
+
+    def test_faces_are_cell_corners(self, executed_3d):
+        s3 = executed_3d
+        corners = s3.vertices[s3.faces]       # [N, 8, 3]
+        np.testing.assert_allclose(corners.mean(axis=1), s3.centers, atol=1e-9)
+        h = s3.size_initial_cell / np.exp2(s3.levels.astype(float)).reshape(-1, 1)
+        widths = corners.max(axis=1) - corners.min(axis=1)
+        np.testing.assert_allclose(widths, np.repeat(h, 3, axis=-1), atol=1e-9)
+
+    def test_nodes_deduplicated(self, executed_3d):
+        nodes = executed_3d.vertices
+        assert np.unique(np.round(nodes, 12), axis=0).shape[0] == nodes.shape[0]
+
+    def test_no_cell_fully_inside_cylinder(self, executed_3d):
+        s3 = executed_3d
+        corners = s3.vertices[s3.faces]
+        r = np.linalg.norm(corners[..., :2] - [0.3, 0.5], axis=-1)
+        z = corners[..., 2]
+        # corner strictly inside the cylinder = radially within AND within
+        # the axial extent (cells touching the z-boundary are legal survivors)
+        inside = (r < 0.1 - 1e-12) & (z > 1e-12) & (z < 0.5 - 1e-12)
+        assert not inside.all(axis=1).any()
+
+    def test_capture_target(self, executed_3d):
+        m = executed_3d.data_final_mesh["metric_per_iter"]
+        assert m[-1] >= 0.7 * 0.75 or abs(m[-1] - m[-2]) <= 1e-3 + 1e-9
+
+
+class TestExport3D:
+    def test_export_vector_field_and_svd(self, cloud_3d, executed_3d):
+        xyz, metric = cloud_3d
+        times = [f"{t:.2f}" for t in np.arange(6) * 0.1]
+        rng = np.random.default_rng(11)
+        # 3-component vector field with temporal oscillation
+        snaps = (metric[:, None, None]
+                 * (1 + 0.2 * np.sin(np.arange(6))[None, None, :])
+                 * np.asarray([1.0, 0.5, 0.25])[None, :, None]).astype(np.float32)
+        exp = ExportData(executed_3d, write_times=times)
+        exp.export(xyz, snaps, "U", n_snapshots_total=6)
+
+        dl = Dataloader(executed_3d.save_path, "t3.h5")
+        snap = dl.load_snapshot("U")
+        assert snap.shape == (dl.n_cells, 3, 6)
+        # weights = (w0 / 2^level)^3
+        h = dl.size_initial_cell / np.exp2(dl.levels.astype(float))
+        np.testing.assert_allclose(dl.weights, h ** 3, rtol=1e-6)
+
+        write_svd_s_cube_to_file("U", executed_3d.save_path, "t3",
+                                 new_file=False, rank=4, n_modes=2)
+        assert os.path.isfile(os.path.join(executed_3d.save_path, "t3_U_svd.h5"))
+
+    def test_xdmf_hexahedron_topology(self, executed_3d):
+        xdmf = os.path.join(executed_3d.save_path, "t3.xdmf")
+        assert os.path.isfile(xdmf)
+        tree = ET.parse(xdmf)
+        topo = tree.find(".//Topology")
+        assert topo.get("TopologyType") == "Hexahedron"
