@@ -58,6 +58,10 @@ def _bucket(n: int, minimum: int = 512) -> int:
     return max(minimum, 1 << int(n - 1).bit_length())
 
 
+# max cells per fused-epoch device call (see ops/knn.MAX_QUERY_CHUNK)
+_EPOCH_CHUNK = 8192
+
+
 class BatchedValidity:
     """Jitted, bucket-padded evaluation of cell validity across geometries.
 
@@ -412,21 +416,26 @@ class SamplingTree:
         if self._epoch_fn is None:
             self._build_epoch_fn()
 
-        m = idx.size
-        # M*(1+2^d) must stay a multiple of the k-NN query tile: pow2 ≥ 1024
-        mp = _bucket(m, minimum=1024)
         d = self._n_dimensions
-        coords = np.zeros((mp, d), dtype=np.float32)
-        coords[:m] = self._coords[idx]
-        level = np.zeros(mp, dtype=np.float32)
-        level[:m] = self._level[idx]
+        # cap the per-call cell count: oversized single programs can crash
+        # the TPU worker, and chunking keeps compiled shapes bounded
+        for lo in range(0, idx.size, _EPOCH_CHUNK):
+            part = idx[lo:lo + _EPOCH_CHUNK]
+            m = part.size
+            # M*(1+2^d) must stay a multiple of the k-NN query tile: pow2 ≥ 1024
+            mp = _bucket(m, minimum=1024)
+            coords = np.zeros((mp, d), dtype=np.float32)
+            coords[:m] = self._coords[part]
+            level = np.zeros(mp, dtype=np.float32)
+            level[:m] = self._level[part]
 
-        out = np.asarray(self._epoch_fn(jnp.asarray(coords), jnp.asarray(level)))[:m]
-        self._gain[idx] = out[:, 0]
-        self._metric_arr[idx] = out[:, 1]
-        dead = idx[out[:, 2] > 0.5]
-        self._alive[dead] = False
-        self._gain[dead] = 0.0
+            out = np.asarray(self._epoch_fn(jnp.asarray(coords),
+                                            jnp.asarray(level)))[:m]
+            self._gain[part] = out[:, 0]
+            self._metric_arr[part] = out[:, 1]
+            dead = part[out[:, 2] > 0.5]
+            self._alive[dead] = False
+            self._gain[dead] = 0.0
 
     def _remove_invalid_cells(self, idx: np.ndarray) -> None:
         """Mask out newly created cells inside geometries / outside the domain

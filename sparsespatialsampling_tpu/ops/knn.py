@@ -35,6 +35,10 @@ enable_compilation_cache()
 
 DEFAULT_TILE_N = 16384
 DEFAULT_TILE_Q = 1024
+# max queries per device call: larger single programs have been observed to
+# crash the TPU worker (watchdog/resource limits); chunking also bounds the
+# per-call score memory at [MAX_QUERY_CHUNK/tile_q] × [tile_q, tile_n]
+MAX_QUERY_CHUNK = 16384
 
 
 def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
@@ -47,28 +51,45 @@ def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
     n = points.shape[0]
     n_tiles = n // tile_n
     points_t = points.T  # [d, N]
+    # candidate-buffer strategy: collect each tile's local top-k and merge
+    # ONCE at the end (1 top_k per tile instead of 2) while the buffer
+    # [tile_q, n_tiles·k] stays small; fall back to a running merge for
+    # clouds with many tiles
+    collect = n_tiles * k <= 8192
+
+    def tile_topk(q, tile_idx):
+        p_t = jax.lax.dynamic_slice_in_dim(points_t, tile_idx * tile_n, tile_n, axis=1)
+        p_sq = jax.lax.dynamic_slice_in_dim(points_sq, tile_idx * tile_n, tile_n)
+        # ranking score: |p|^2 - 2 q.p  (monotone in true distance per query)
+        scores = p_sq[None, :] - 2.0 * jnp.dot(q, p_t, preferred_element_type=jnp.float32)
+        top_s, top_i = jax.lax.top_k(-scores, k)  # [tile_q, k]
+        return top_s, top_i + tile_idx * tile_n
 
     def per_q_chunk(q):
-        # q: [tile_q, d]
-        def scan_tile(carry, tile_idx):
-            best_scores, best_idx = carry
-            p_t = jax.lax.dynamic_slice_in_dim(points_t, tile_idx * tile_n, tile_n, axis=1)
-            p_sq = jax.lax.dynamic_slice_in_dim(points_sq, tile_idx * tile_n, tile_n)
-            # ranking score: |p|^2 - 2 q.p  (monotone in true distance per query)
-            scores = p_sq[None, :] - 2.0 * jnp.dot(q, p_t, preferred_element_type=jnp.float32)
-            top_s, top_i = jax.lax.top_k(-scores, k)  # [tile_q, k]
-            top_i = top_i + tile_idx * tile_n
-            # merge with the running best
-            merged_s = jnp.concatenate([best_scores, top_s], axis=1)
-            merged_i = jnp.concatenate([best_idx, top_i], axis=1)
-            new_s, sel = jax.lax.top_k(merged_s, k)
-            new_i = jnp.take_along_axis(merged_i, sel, axis=1)
-            return (new_s, new_i), None
+        if collect:
+            def scan_tile(_, tile_idx):
+                return None, tile_topk(q, tile_idx)
+            _, (all_s, all_i) = jax.lax.scan(
+                scan_tile, None, jnp.arange(n_tiles, dtype=jnp.int32))
+            # [n_tiles, tile_q, k] → [tile_q, n_tiles*k] → final top-k
+            all_s = jnp.moveaxis(all_s, 0, 1).reshape(q.shape[0], -1)
+            all_i = jnp.moveaxis(all_i, 0, 1).reshape(q.shape[0], -1)
+            best_scores, sel = jax.lax.top_k(all_s, k)
+            best_idx = jnp.take_along_axis(all_i, sel, axis=1)
+        else:
+            def scan_tile(carry, tile_idx):
+                best_scores, best_idx = carry
+                top_s, top_i = tile_topk(q, tile_idx)
+                merged_s = jnp.concatenate([best_scores, top_s], axis=1)
+                merged_i = jnp.concatenate([best_idx, top_i], axis=1)
+                new_s, sel = jax.lax.top_k(merged_s, k)
+                new_i = jnp.take_along_axis(merged_i, sel, axis=1)
+                return (new_s, new_i), None
 
-        init = (jnp.full((q.shape[0], k), -jnp.inf, dtype=jnp.float32),
-                jnp.zeros((q.shape[0], k), dtype=jnp.int32))
-        (best_scores, best_idx), _ = jax.lax.scan(
-            scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32))
+            init = (jnp.full((q.shape[0], k), -jnp.inf, dtype=jnp.float32),
+                    jnp.zeros((q.shape[0], k), dtype=jnp.int32))
+            (best_scores, best_idx), _ = jax.lax.scan(
+                scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32))
 
         # exact distances for the selected neighbors (stable formulation)
         nb = points[best_idx]  # [tile_q, k, d]
@@ -164,42 +185,51 @@ class KNNIndex:
         self._values = jnp.asarray(values)
         self._values_host = values
 
-    def _pad_queries(self, queries):
+    def _run_chunked(self, kernel_args_fn, queries):
+        """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows;
+        returns the per-chunk outputs concatenated on host."""
         queries = np.asarray(queries) - self._shift
         q = queries.shape[0]
-        q_pad = _bucket_pow2(q, self._tile_q)
-        qarr = np.zeros((q_pad, self.n_dim), dtype=np.float32)
-        qarr[:q] = queries
-        return jnp.asarray(qarr), q
+        outs = []
+        for lo in range(0, max(q, 1), MAX_QUERY_CHUNK):
+            chunk = queries[lo:lo + MAX_QUERY_CHUNK]
+            n = chunk.shape[0]
+            n_pad = _bucket_pow2(n, self._tile_q)
+            qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
+            qarr[:n] = chunk
+            out = kernel_args_fn(jnp.asarray(qarr))
+            outs.append(tuple(np.asarray(o)[:n] for o in out)
+                        if isinstance(out, tuple) else np.asarray(out)[:n])
+        if isinstance(outs[0], tuple):
+            return tuple(np.concatenate(parts) for parts in zip(*outs))
+        return np.concatenate(outs)
 
     def query(self, queries, k: int):
-        """Exact k-NN: returns ``(dists [Q, k], idx [Q, k])`` as jnp arrays."""
+        """Exact k-NN: returns ``(dists [Q, k], idx [Q, k])`` (numpy)."""
         assert k <= self.n_points, \
             f"k={k} exceeds the number of indexed points ({self.n_points})."
-        qarr, q = self._pad_queries(queries)
-        dists, idx = _query_padded(qarr, self._points, self._points_sq, k,
-                                   self._tile_n, self._tile_q)
-        return dists[:q], idx[:q]
+        return self._run_chunked(
+            lambda qarr: _query_padded(qarr, self._points, self._points_sq, k,
+                                       self._tile_n, self._tile_q), queries)
 
     def weights(self, queries, k: int):
         """Normalized inverse-distance weights: ``(w [Q, k], idx [Q, k])``."""
-        qarr, q = self._pad_queries(queries)
-        w, idx = _weights_padded(qarr, self._points, self._points_sq, k,
-                                 self._tile_n, self._tile_q)
-        return w[:q], idx[:q]
+        return self._run_chunked(
+            lambda qarr: _weights_padded(qarr, self._points, self._points_sq, k,
+                                         self._tile_n, self._tile_q), queries)
 
     def predict(self, queries, k: int):
         """Inverse-distance-weighted regression at the query points.
 
         Equivalent to sklearn ``KNeighborsRegressor(n_neighbors=k,
         weights="distance").predict`` on the attached values — fused into a
-        single device call.
+        single device call per ≤16k-query chunk.
         """
         assert self._values is not None, "No values attached; call set_values() first."
-        qarr, q = self._pad_queries(queries)
-        pred = _predict_padded(qarr, self._points, self._points_sq, self._values,
-                               k, self._tile_n, self._tile_q)
-        return pred[:q]
+        return self._run_chunked(
+            lambda qarr: _predict_padded(qarr, self._points, self._points_sq,
+                                         self._values, k, self._tile_n,
+                                         self._tile_q), queries)
 
     def predict_host(self, queries, k: int) -> np.ndarray:
         """Host-side exact variant for tiny query counts (e.g. the root-cell
