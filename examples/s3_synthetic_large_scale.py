@@ -58,7 +58,6 @@ def main():
     # sharded interpolation of streamed snapshot batches
     knn = KNNIndex(xyz)
     w, idx = knn.weights(s3.centers, 26)
-    w, idx = np.asarray(w), np.asarray(idx)
 
     t0 = time.perf_counter()
     batch = 20

@@ -58,8 +58,11 @@ def _bucket(n: int, minimum: int = 512) -> int:
     return max(minimum, 1 << int(n - 1).bit_length())
 
 
-# max cells per fused-epoch device call (see ops/knn.MAX_QUERY_CHUNK)
-_EPOCH_CHUNK = 8192
+# Max cells per fused-epoch device call, per dimensionality. Each cell
+# issues 1 + 2^d k-NN queries; single programs around ~590k queries crash
+# the remote TPU worker (~295k bisected OK on a 1M-point cloud), so keep
+# the per-call query count ≤ ~80k with margin: 16384·5 in 2D, 8192·9 in 3D.
+_EPOCH_CHUNK = {2: 16384, 3: 8192}
 
 
 class BatchedValidity:
@@ -417,10 +420,13 @@ class SamplingTree:
             self._build_epoch_fn()
 
         d = self._n_dimensions
-        # cap the per-call cell count: oversized single programs can crash
-        # the TPU worker, and chunking keeps compiled shapes bounded
-        for lo in range(0, idx.size, _EPOCH_CHUNK):
-            part = idx[lo:lo + _EPOCH_CHUNK]
+        # cap the per-call cell count (oversized single programs can crash
+        # the TPU worker); dispatch all chunks first so upload/compute/
+        # readback pipeline through JAX async dispatch, then read back
+        chunk_size = _EPOCH_CHUNK[d]
+        pending = []
+        for lo in range(0, idx.size, chunk_size):
+            part = idx[lo:lo + chunk_size]
             m = part.size
             # M*(1+2^d) must stay a multiple of the k-NN query tile: pow2 ≥ 1024
             mp = _bucket(m, minimum=1024)
@@ -428,9 +434,11 @@ class SamplingTree:
             coords[:m] = self._coords[part]
             level = np.zeros(mp, dtype=np.float32)
             level[:m] = self._level[part]
+            pending.append((part, self._epoch_fn(jnp.asarray(coords),
+                                                 jnp.asarray(level))))
 
-            out = np.asarray(self._epoch_fn(jnp.asarray(coords),
-                                            jnp.asarray(level)))[:m]
+        for part, fut in pending:
+            out = np.asarray(fut)[:part.size]
             self._gain[part] = out[:, 0]
             self._metric_arr[part] = out[:, 1]
             dead = part[out[:, 2] > 0.5]

@@ -35,9 +35,11 @@ enable_compilation_cache()
 
 DEFAULT_TILE_N = 16384
 DEFAULT_TILE_Q = 1024
-# max queries per device call: larger single programs have been observed to
-# crash the TPU worker (watchdog/resource limits); chunking also bounds the
-# per-call score memory at [MAX_QUERY_CHUNK/tile_q] × [tile_q, tile_n]
+# Max queries per device call. Empirically, single programs around ~590k
+# queries crash the remote TPU worker while ~295k survive (bisected on a
+# 1M-point cloud); 16k per call keeps a wide margin and bounds per-call
+# latency so chunks pipeline through JAX async dispatch. Live score memory
+# is one [tile_q, tile_n] buffer regardless (lax.map is sequential).
 MAX_QUERY_CHUNK = 16384
 
 
@@ -186,20 +188,24 @@ class KNNIndex:
         self._values_host = values
 
     def _run_chunked(self, kernel_args_fn, queries):
-        """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows;
-        returns the per-chunk outputs concatenated on host."""
+        """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows.
+
+        All chunks are dispatched first (JAX async dispatch overlaps upload,
+        compute, and the previous chunk's readback); device→host conversion
+        happens in a second pass."""
         queries = np.asarray(queries) - self._shift
         q = queries.shape[0]
-        outs = []
+        pending = []
         for lo in range(0, max(q, 1), MAX_QUERY_CHUNK):
             chunk = queries[lo:lo + MAX_QUERY_CHUNK]
             n = chunk.shape[0]
             n_pad = _bucket_pow2(n, self._tile_q)
             qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
             qarr[:n] = chunk
-            out = kernel_args_fn(jnp.asarray(qarr))
-            outs.append(tuple(np.asarray(o)[:n] for o in out)
-                        if isinstance(out, tuple) else np.asarray(out)[:n])
+            pending.append((kernel_args_fn(jnp.asarray(qarr)), n))
+        outs = [tuple(np.asarray(o)[:n] for o in out)
+                if isinstance(out, tuple) else np.asarray(out)[:n]
+                for out, n in pending]
         if isinstance(outs[0], tuple):
             return tuple(np.concatenate(parts) for parts in zip(*outs))
         return np.concatenate(outs)

@@ -141,3 +141,59 @@ class TestSVDRank:
         _, s_e, _ = economy_svd(a)
         _, s_r, _ = randomized_svd(a, rank=4)
         np.testing.assert_allclose(s_r, s_e[:4], rtol=1e-3)
+
+
+class TestChunking:
+    def test_multi_chunk_query_matches_single(self, monkeypatch):
+        """Crossing the MAX_QUERY_CHUNK boundary must not change results."""
+        import sparsespatialsampling_tpu.ops.knn as knn_mod
+        rng = np.random.default_rng(9)
+        pts = rng.uniform(size=(3000, 2))
+        q = rng.uniform(size=(700, 2))
+        index = KNNIndex(pts)
+        d_ref, i_ref = index.query(q, 8)
+
+        monkeypatch.setattr(knn_mod, "MAX_QUERY_CHUNK", 256)
+        d_chunk, i_chunk = index.query(q, 8)
+        np.testing.assert_allclose(d_chunk, d_ref, rtol=1e-6)
+        np.testing.assert_array_equal(i_chunk, i_ref)
+
+    def test_running_merge_branch_matches_bruteforce(self):
+        """Force the collect=False running-merge path (n_tiles*k > 8192)
+        with a tiny tile size and verify exactness."""
+        rng = np.random.default_rng(10)
+        n, k = 45_056, 26                    # 352 tiles of 128 → 9152 > 8192
+        pts = rng.uniform(size=(n, 2)).astype(np.float32)
+        q = rng.uniform(0.2, 0.8, size=(50, 2)).astype(np.float32)
+        index = KNNIndex(pts, tile_n=128)
+        assert index._tile_n == 128
+        dists, _ = index.query(q, k)
+
+        full = np.linalg.norm(q[:, None, :].astype(np.float64)
+                              - pts[None, :, :].astype(np.float64), axis=-1)
+        ref = np.sort(full, axis=1)[:, :k]
+        np.testing.assert_allclose(np.sort(dists, 1), ref, rtol=1e-3, atol=1e-5)
+
+    def test_epoch_chunking_equivalent_grid(self, monkeypatch):
+        """Refinement must produce the identical grid when the fused epoch
+        kernel is forced to split every iteration into many tiny chunks."""
+        import sparsespatialsampling_tpu.engine.tree as tree_mod
+        from sparsespatialsampling_tpu.engine.tree import SamplingTree
+        from sparsespatialsampling_tpu.geometry import CubeGeometry
+
+        rng = np.random.default_rng(11)
+        xy = rng.uniform(size=(4000, 2))
+        metric = np.exp(-((xy[:, 0] - 0.5) ** 2 + (xy[:, 1] - 0.5) ** 2) / 0.05)
+
+        def build():
+            st = SamplingTree(xy, metric,
+                              [CubeGeometry("domain", True, [0, 0], [1, 1])],
+                              uniform_level=3, n_cells=800)
+            st.refine()
+            return st.all_centers, st.all_levels
+
+        c_ref, l_ref = build()
+        monkeypatch.setitem(tree_mod._EPOCH_CHUNK, 2, 64)
+        c_chunk, l_chunk = build()
+        np.testing.assert_allclose(c_chunk, c_ref)
+        np.testing.assert_array_equal(l_chunk, l_ref)
