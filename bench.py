@@ -37,22 +37,32 @@ def synthetic_oat15(n_points: int = 245_000, seed: int = 0):
     return xy, metric
 
 
-def main():
-    from sparsespatialsampling_tpu import (
-        SparseSpatialSampling, ExportData, CubeGeometry, Dataloader,
-        write_svd_s_cube_to_file)
-
-    xy, metric = synthetic_oat15()
+def run_refine(xy, metric, tmp, name):
+    from sparsespatialsampling_tpu import SparseSpatialSampling, CubeGeometry
     domain = CubeGeometry("domain", True, [-0.5, -0.5], [1.5, 0.5])
-    tmp = tempfile.mkdtemp()
-
     t0 = time.perf_counter()
     s3 = SparseSpatialSampling(
-        xy, metric, [domain], save_path=tmp, save_name="bench",
+        xy, metric, [domain], save_path=tmp, save_name=name,
         uniform_levels=6, n_cells_max=25_000)
     t_init = time.perf_counter() - t0
     s3.execute_grid_generation()
-    t_refine = time.perf_counter() - t0
+    return s3, t_init, time.perf_counter() - t0
+
+
+def main():
+    from sparsespatialsampling_tpu import (
+        ExportData, Dataloader, write_svd_s_cube_to_file)
+
+    xy, metric = synthetic_oat15()
+    tmp = tempfile.mkdtemp()
+
+    # Run 1 warms the device (program loads + the tunnel's first-readback
+    # channel init, which can stall minutes); run 2 measures steady state —
+    # same protocol as warming a JIT'd CPU baseline. Skip the re-run if the
+    # first attempt was already fast or took pathologically long.
+    s3, t_init, t_refine = run_refine(xy, metric, tmp, "bench")
+    if 30.0 < t_refine < 300.0:
+        s3, t_init, t_refine = run_refine(xy, metric, tmp, "bench")
 
     # 50 synthetic snapshots of a scalar field (shock oscillation)
     n_snap = 50
@@ -69,7 +79,7 @@ def main():
     write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20, n_modes=5)
     t_svd = time.perf_counter() - t2
 
-    t_total = time.perf_counter() - t0
+    t_total = t_refine + t_interp + t_svd
     n_cells = int(s3.faces.shape[0])
     captured = float(s3.data_final_mesh["metric_per_iter"][-1])
 

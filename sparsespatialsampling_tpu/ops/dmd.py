@@ -34,7 +34,10 @@ def exact_dmd(data: np.ndarray, dt: float = 1.0, rank: int = None):
     u, s, v = economy_svd(x)
     if rank is None:
         rank = optimal_rank(s, x.shape)
-    rank = int(min(rank, s.shape[0]))
+    # clamp to the numerical rank: Σ⁻¹ on near-zero singular values would
+    # blow up the reduced operator
+    num_rank = int((s > max(s[0], 1e-30) * 1e-6).sum())
+    rank = int(min(rank, s.shape[0], max(num_rank, 1)))
     u, s, v = u[:, :rank], s[:rank], v[:, :rank]
 
     # reduced operator on device: [r, n]·[n, r] matmuls
