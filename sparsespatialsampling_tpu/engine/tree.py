@@ -412,7 +412,10 @@ class SamplingTree:
         gain/validity calls for pre-selected expensive geometries."""
         if idx.size == 0:
             return
-        if not self._epoch_fusable:
+        # the fused kernel computes centers in float32: lattice coords are
+        # exact up to 2^23, so very deep trees fall back to the float64
+        # host-assisted path (final grid assembly is always float64)
+        if not self._epoch_fusable or self._level[idx].max() > 22:
             self._update_gain(idx)
             self._remove_invalid_cells(idx)
             return

@@ -21,7 +21,8 @@ from .mesh import CELL_AXIS, pad_to_multiple
 def _local_topk(queries, points, points_sq, k: int):
     """Exact local top-k by the expanded score (monotone in distance)."""
     scores = points_sq[None, :] - 2.0 * jnp.dot(
-        queries, points.T, preferred_element_type=jnp.float32)
+        queries, points.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     top_s, top_i = jax.lax.top_k(-scores, k)
     return top_s, top_i
 

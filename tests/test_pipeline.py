@@ -333,3 +333,25 @@ class TestDMD:
         res = compute_dmd(data, cell_area=area, rank=5)
         assert res["modes"].shape == (200, 2, 5)
         assert res["eigenvalues"].shape == (5,)
+
+
+class TestVertexInterpolation:
+    def test_interpolate_at_vertices(self, cloud_2d, executed_s3):
+        """interpolate_at_vertices stores <field>_vertices datasets sized to
+        the node count alongside the cell-center data."""
+        from h5py import File
+        xy, metric = cloud_2d
+        times = ["0.5", "0.6"]
+        data = np.stack([metric, metric * 2], axis=-1)[:, None, :]
+        exp = ExportData(executed_s3, write_times=times,
+                         write_new_file_for_each_field=True,
+                         interpolate_at_vertices=True)
+        exp.export(xy, data, "pv", n_snapshots_total=2)
+
+        path = os.path.join(executed_s3.save_path, "t_pv.h5")
+        with File(path, "r") as f:
+            grp = f["data/0.5"]
+            assert "pv_center" in grp and "pv_vertices" in grp
+            n_nodes = f["grid/vertices"].shape[0]
+            assert grp["pv_vertices"].shape[0] == n_nodes
+            assert grp["pv_center"].shape[0] == executed_s3.faces.shape[0]
