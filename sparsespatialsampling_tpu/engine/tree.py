@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.knn import KNNIndex, _search, _idw
+from ..ops.knn import KNNIndex, _search, _idw, _grid_candidates
 from ..ops import morton
 
 logger = logging.getLogger(__name__)
@@ -362,14 +362,17 @@ class SamplingTree:
         self._metric_arr[idx] = pred[:, 0]
 
     def _build_epoch_fn(self):
-        """Build the fused epoch kernel: metric prediction at own + child
+        """Build the fused epoch kernel(s): metric prediction at own + child
         centers (exact k-NN), gain formula, and geometry validity — one jitted
-        call returning a packed ``[M, 3]`` array (gain, metric, invalid).
+        call returning a packed ``[M, 4]`` array (gain, metric, invalid, bad).
 
-        The k-NN arrays and all workload scalars are *arguments*, not
-        closures: closed-over device arrays would be baked into the HLO as
-        constants, bloating compile time and making the persistent-cache key
-        workload-specific instead of shape-specific."""
+        When the k-NN index has a bucket grid, the prediction uses the grid
+        fast path and ``bad`` marks cells whose queries could not be answered
+        exactly from the 3^d neighborhood (those re-run through the full-scan
+        variant). The k-NN arrays and all workload scalars are *arguments*,
+        not closures: closed-over device arrays would be baked into the HLO
+        as constants, bloating compile time and making the persistent-cache
+        key workload-specific instead of shape-specific."""
         d = self._n_dimensions
         k = self._n_neighbors
         geometries = list(self._geometry)
@@ -377,33 +380,69 @@ class SamplingTree:
         tile_n, tile_q = knn._tile_n, knn._tile_q
         n_children = 1 + 2 ** d
 
-        def fn(coords, level, lo, width, gain0, dirs, offsets, shift,
-               points, points_sq, values):
-            # coords [M, d] f32 lattice ints, level [M] f32
-            h = width / jnp.exp2(level)                           # [M]
-            centers = lo + (coords + 0.5) * h[:, None]            # [M, d]
-            child_c = centers[:, None, :] + dirs[None, :, :] * (0.25 * h)[:, None, None]
-            queries = jnp.concatenate([centers[:, None, :], child_c], axis=1)
-            qflat = (queries - shift).reshape(-1, d)              # [M*C, d]
-            sq, idx = _search(qflat, points, points_sq, k, tile_n, tile_q)
-            w = _idw(sq)
-            pred = jnp.einsum("qk,qk->q", w, values[idx]).reshape(-1, n_children)
+        def geometry_and_gain(coords, level, lo, width, gain0, dirs, offsets,
+                              pred, bad):
+            h = width / jnp.exp2(level)
+            pred = pred.reshape(-1, n_children)
             sum_delta = jnp.abs(pred[:, :1] - pred[:, 1:]).sum(axis=1)
             gain = h ** d * sum_delta / (2 ** d) / gain0
-
             nodes = lo + (coords[:, None, :] + offsets[None, :, :]) * h[:, None, None]
             flags = [g.check_cells(nodes, False) for g in geometries]
             invalid = reduce(operator.or_, flags)
-            return jnp.stack([gain, pred[:, 0], invalid.astype(jnp.float32)], axis=1)
+            return jnp.stack([gain, pred[:, 0], invalid.astype(jnp.float32),
+                              bad.astype(jnp.float32)], axis=1)
 
-        jitted = jax.jit(fn)
-        args = (jnp.asarray(self._lo, dtype=jnp.float32),
-                jnp.float32(self._width), jnp.float32(self._gain0),
-                jnp.asarray(self._dirs, dtype=jnp.float32),
-                jnp.asarray(self._offsets, dtype=jnp.float32),
-                jnp.asarray(knn._shift, dtype=jnp.float32),
-                knn._points, knn._points_sq, knn._values)
-        self._epoch_fn = lambda coords, level: jitted(coords, level, *args)
+        def query_centers(coords, level, lo, width, dirs, shift):
+            h = width / jnp.exp2(level)
+            centers = lo + (coords + 0.5) * h[:, None]
+            child_c = centers[:, None, :] + dirs[None, :, :] * (0.25 * h)[:, None, None]
+            queries = jnp.concatenate([centers[:, None, :], child_c], axis=1)
+            return (queries - shift).reshape(-1, d)
+
+        def fn_full(coords, level, lo, width, gain0, dirs, offsets, shift,
+                    points, points_sq, values):
+            qflat = query_centers(coords, level, lo, width, dirs, shift)
+            sq, idx = _search(qflat, points, points_sq, k, tile_n, tile_q)
+            pred = jnp.einsum("qk,qk->q", _idw(sq), values[idx])
+            bad = jnp.zeros(coords.shape[0], dtype=jnp.bool_)
+            return geometry_and_gain(coords, level, lo, width, gain0, dirs,
+                                     offsets, pred, bad)
+
+        def fn_grid(coords, level, lo, width, gain0, dirs, offsets, shift,
+                    points, values, cell_list, overflow, origin, inv_h, dims,
+                    max_sq_ok):
+            qflat = query_centers(coords, level, lo, width, dirs, shift)
+            d2, cand, ovf = _grid_candidates(qflat, points, cell_list, overflow,
+                                             origin, inv_h, dims)
+            top_s, sel = jax.lax.top_k(-d2, k)
+            sq = -top_s
+            idx = jnp.take_along_axis(cand, sel, axis=1)
+            pred = jnp.einsum("qk,qk->q", _idw(sq), values[idx])
+            qbad = (sq.max(axis=1) > max_sq_ok) | ovf
+            bad = qbad.reshape(-1, n_children).any(axis=1)
+            return geometry_and_gain(coords, level, lo, width, gain0, dirs,
+                                     offsets, pred, bad)
+
+        common = (jnp.asarray(self._lo, dtype=jnp.float32),
+                  jnp.float32(self._width), jnp.float32(self._gain0),
+                  jnp.asarray(self._dirs, dtype=jnp.float32),
+                  jnp.asarray(self._offsets, dtype=jnp.float32),
+                  jnp.asarray(knn._shift, dtype=jnp.float32))
+
+        jit_full = jax.jit(fn_full)
+        full_args = common + (knn._points, knn._points_sq, knn._values)
+        self._epoch_fn_full = lambda c, l: jit_full(c, l, *full_args)
+
+        if knn._grid is not None:
+            g = knn._grid
+            jit_grid = jax.jit(fn_grid)
+            grid_args = common + (knn._points, knn._values, g["cell_list"],
+                                  g["overflow"], g["origin"], g["inv_h"],
+                                  g["dims"],
+                                  jnp.float32((g["h"] ** 2) * (1.0 - 1e-4)))
+            self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
+        else:
+            self._epoch_fn = self._epoch_fn_full
 
     def _process_new_cells(self, idx: np.ndarray) -> None:
         """Gain + metric + validity for newly created cells.
@@ -427,9 +466,8 @@ class SamplingTree:
         # the TPU worker); dispatch all chunks first so upload/compute/
         # readback pipeline through JAX async dispatch, then read back
         chunk_size = _EPOCH_CHUNK[d]
-        pending = []
-        for lo in range(0, idx.size, chunk_size):
-            part = idx[lo:lo + chunk_size]
+
+        def dispatch(part, fn):
             m = part.size
             # M*(1+2^d) must stay a multiple of the k-NN query tile: pow2 ≥ 1024
             mp = _bucket(m, minimum=1024)
@@ -437,16 +475,38 @@ class SamplingTree:
             coords[:m] = self._coords[part]
             level = np.zeros(mp, dtype=np.float32)
             level[:m] = self._level[part]
-            pending.append((part, self._epoch_fn(jnp.asarray(coords),
-                                                 jnp.asarray(level))))
+            return fn(jnp.asarray(coords), jnp.asarray(level))
 
+        pending = [(idx[lo:lo + chunk_size],
+                    dispatch(idx[lo:lo + chunk_size], self._epoch_fn))
+                   for lo in range(0, idx.size, chunk_size)]
+
+        retry = []
         for part, fut in pending:
             out = np.asarray(fut)[:part.size]
-            self._gain[part] = out[:, 0]
-            self._metric_arr[part] = out[:, 1]
-            dead = part[out[:, 2] > 0.5]
-            self._alive[dead] = False
-            self._gain[dead] = 0.0
+            # grid path: cells whose k-NN could not be answered exactly from
+            # the 3^d neighborhood re-run through the full-scan kernel
+            bad = out[:, 3] > 0.5
+            if bad.any():
+                retry.append(part[bad])
+            good = ~bad
+            self._apply_epoch_out(part[good], out[good])
+
+        if retry:
+            retry_idx = np.concatenate(retry)
+            for lo in range(0, retry_idx.size, chunk_size):
+                part = retry_idx[lo:lo + chunk_size]
+                out = np.asarray(dispatch(part, self._epoch_fn_full))[:part.size]
+                self._apply_epoch_out(part, out)
+
+    def _apply_epoch_out(self, part: np.ndarray, out: np.ndarray) -> None:
+        if part.size == 0:
+            return
+        self._gain[part] = out[:, 0]
+        self._metric_arr[part] = out[:, 1]
+        dead = part[out[:, 2] > 0.5]
+        self._alive[dead] = False
+        self._gain[dead] = 0.0
 
     def _remove_invalid_cells(self, idx: np.ndarray) -> None:
         """Mask out newly created cells inside geometries / outside the domain

@@ -117,53 +117,63 @@ def _idw(sq, eps: float = 1e-12):
     return w / w.sum(axis=1, keepdims=True)
 
 
-def _search_tiles(queries, points, points_sq, tile_ids, k: int,
-                  tile_n: int, tile_q: int):
-    """Like :func:`_search` but scans only the point tiles named in
-    ``tile_ids`` (the spatial-pruning fast path). ``tile_ids`` may repeat the
-    all-inf dummy tile as padding — its candidates rank last and are never
-    selected while ≥ k real candidates exist."""
-    points_t = points.T
-    n_sel = tile_ids.shape[0]
-    collect = n_sel * k <= 8192
+def _neighbor_offsets(d: int) -> np.ndarray:
+    """All 3^d offsets in {-1, 0, 1}^d (the query cell's neighborhood)."""
+    return np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d), indexing="ij"),
+                    axis=-1).reshape(-1, d).astype(np.int32)
 
-    def tile_topk(q, tile_idx):
-        p_t = jax.lax.dynamic_slice_in_dim(points_t, tile_idx * tile_n, tile_n, axis=1)
-        p_sq = jax.lax.dynamic_slice_in_dim(points_sq, tile_idx * tile_n, tile_n)
-        scores = p_sq[None, :] - 2.0 * jnp.dot(q, p_t, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        top_s, top_i = jax.lax.top_k(-scores, k)
-        return top_s, top_i + tile_idx * tile_n
 
-    def per_q_chunk(q):
-        if collect:
-            def scan_tile(_, tile_idx):
-                return None, tile_topk(q, tile_idx)
-            _, (all_s, all_i) = jax.lax.scan(scan_tile, None, tile_ids)
-            all_s = jnp.moveaxis(all_s, 0, 1).reshape(q.shape[0], -1)
-            all_i = jnp.moveaxis(all_i, 0, 1).reshape(q.shape[0], -1)
-            best_scores, sel = jax.lax.top_k(all_s, k)
-            best_idx = jnp.take_along_axis(all_i, sel, axis=1)
-        else:
-            def scan_tile(carry, tile_idx):
-                best_scores, best_idx = carry
-                top_s, top_i = tile_topk(q, tile_idx)
-                merged_s = jnp.concatenate([best_scores, top_s], axis=1)
-                merged_i = jnp.concatenate([best_idx, top_i], axis=1)
-                new_s, sel = jax.lax.top_k(merged_s, k)
-                return (new_s, jnp.take_along_axis(merged_i, sel, axis=1)), None
-            init = (jnp.full((q.shape[0], k), -jnp.inf, dtype=jnp.float32),
-                    jnp.zeros((q.shape[0], k), dtype=jnp.int32))
-            (best_scores, best_idx), _ = jax.lax.scan(scan_tile, init, tile_ids)
+def _grid_candidates(queries, points, cell_list, cell_overflow, origin, inv_h, dims):
+    """Gather the 3^d-neighborhood candidates of each query from the bucket
+    grid and compute exact squared distances.
 
-        nb = points[best_idx]
-        delta = q[:, None, :] - nb
-        sq = jnp.sum(delta * delta, axis=-1)
-        return sq, best_idx
+    ``cell_list [n_cells+1, C]`` int32 (last row = empty cell, all pad ids;
+    pad point coords are huge so their distances are +inf).  Returns
+    ``(d2 [Q, 3^d·C], cand [Q, 3^d·C], overflow [Q])``.
+    """
+    d = queries.shape[1]
+    offs = jnp.asarray(_neighbor_offsets(d))
+    cc = jnp.floor((queries - origin) * inv_h).astype(jnp.int32)       # [Q, d]
+    nb = cc[:, None, :] + offs[None, :, :]                              # [Q, 3^d, d]
+    valid = jnp.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)  # [Q, 3^d]
+    flat = nb[..., 0]
+    for ax in range(1, d):
+        flat = flat * dims[ax] + nb[..., ax]
+    empty = cell_list.shape[0] - 1
+    flat = jnp.where(valid, flat, empty)
 
-    qq = queries.reshape(-1, tile_q, queries.shape[-1])
-    sq, idx = jax.lax.map(per_q_chunk, qq)
-    return sq.reshape(-1, k), idx.reshape(-1, k)
+    cand = cell_list[flat].reshape(queries.shape[0], -1)                # [Q, 3^d·C]
+    cpts = points[cand]                                                 # [Q, 3^d·C, d]
+    d2 = jnp.sum((queries[:, None, :] - cpts) ** 2, axis=-1)
+    overflow = cell_overflow[flat].any(axis=1)
+    return d2, cand, overflow
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _grid_query_kernel(queries, points, cell_list, cell_overflow, origin,
+                       inv_h, dims, k):
+    d2, cand, overflow = _grid_candidates(queries, points, cell_list,
+                                          cell_overflow, origin, inv_h, dims)
+    top_s, sel = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cand, sel, axis=1)
+    return -top_s, idx, overflow
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _grid_predict_kernel(queries, points, values, cell_list, cell_overflow,
+                         origin, inv_h, dims, k):
+    d2, cand, overflow = _grid_candidates(queries, points, cell_list,
+                                          cell_overflow, origin, inv_h, dims)
+    top_s, sel = jax.lax.top_k(-d2, k)
+    sq = -top_s
+    idx = jnp.take_along_axis(cand, sel, axis=1)
+    w = _idw(sq)
+    vals = values[idx]
+    if vals.ndim == 3:
+        pred = jnp.einsum("qk,qkc->qc", w, vals)
+    else:
+        pred = jnp.einsum("qk,qk->q", w, vals)
+    return pred, sq.max(axis=1), overflow
 
 
 @partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
@@ -189,26 +199,6 @@ def _predict_padded(queries, points, points_sq, values, k, tile_n, tile_q):
     return jnp.einsum("qk,qk->q", w, vals)
 
 
-@partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
-def _query_tiles(queries, points, points_sq, tile_ids, k, tile_n, tile_q):
-    sq, idx = _search_tiles(queries, points, points_sq, tile_ids, k, tile_n, tile_q)
-    return sq, idx
-
-
-@partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
-def _predict_tiles(queries, points, points_sq, values, tile_ids, k, tile_n, tile_q):
-    """Tile-subset search + regression; also returns each query's worst
-    selected squared distance for the host-side exactness check."""
-    sq, idx = _search_tiles(queries, points, points_sq, tile_ids, k, tile_n, tile_q)
-    w = _idw(sq)
-    vals = values[idx]
-    if vals.ndim == 3:
-        pred = jnp.einsum("qk,qkc->qc", w, vals)
-    else:
-        pred = jnp.einsum("qk,qk->q", w, vals)
-    return pred, sq.max(axis=1)
-
-
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -225,13 +215,15 @@ class KNNIndex:
     inverse-distance-weighted regression (sklearn ``weights="distance"``
     semantics)."""
 
-    # spatial pruning kicks in above this many real point tiles
-    PRUNE_MIN_TILES = 8
-    # initial search-radius safety factor over the uniform-density estimate
-    PRUNE_RADIUS_FACTOR = 2.0
-    # queries per pruned dispatch: smaller chunks have tighter Morton bboxes
-    # and therefore fewer candidate tiles (the whole point of pruning)
-    PRUNE_CHUNK = 2048
+    # the bucket-grid fast path kicks in above this many points
+    GRID_MIN_POINTS = 32768
+    # target mean points per grid cell (sets the cell size h)
+    GRID_OCCUPANCY = 16
+    # cell capacity: cells with more members overflow → their queries fall
+    # back to the exact full scan
+    GRID_CAPACITY = 64
+    # queries per grid dispatch (bounds the [Q, 3^d·C] candidate temporary)
+    GRID_CHUNK = 8192
 
     def __init__(self, points, values=None, dtype=jnp.float32,
                  tile_n: int = DEFAULT_TILE_N, tile_q: int = DEFAULT_TILE_Q):
@@ -245,42 +237,80 @@ class KNNIndex:
         self._shift = points.mean(axis=0)
         centered = points - self._shift
 
-        # Morton-sort the cloud so point tiles are spatially coherent — the
-        # basis of the tile-pruned search (§7.3 of the build plan: the
-        # "spatial hash" is the Z-order tiling itself). ``_perm`` maps
-        # sorted position → original point index for returned neighbor ids.
+        # Morton-sort the cloud: bucket-grid cells then hold contiguous index
+        # ranges (gather locality) and the full-scan tiles stay spatially
+        # coherent. ``_perm`` maps sorted position → original point index.
         self._perm = np.argsort(self._morton_codes(centered), kind="stable")
         sorted_pts = centered[self._perm]
 
-        n_pad = _round_up(self.n_points, self._tile_n)
-        self._n_real_tiles = n_pad // self._tile_n
-        # one extra all-inf dummy tile used to pad pruned tile-id lists
-        pts = np.zeros((n_pad + self._tile_n, self.n_dim), dtype=np.float32)
+        # +1 guarantees at least one pad row (the empty-cell sentinel target)
+        n_pad = _round_up(self.n_points + 1, self._tile_n)
+        # pad coordinates are huge so pad distances evaluate to +inf in the
+        # grid path's direct distance computation (their ranking score in the
+        # full scan is +inf via points_sq anyway)
+        pts = np.full((n_pad, self.n_dim), 1e30, dtype=np.float32)
         pts[:self.n_points] = sorted_pts
-        sq = np.full((n_pad + self._tile_n,), np.inf, dtype=np.float32)
+        sq = np.full((n_pad,), np.inf, dtype=np.float32)
         sq[:self.n_points] = (sorted_pts.astype(np.float64) ** 2).sum(axis=1)
-        self._dummy_tile = self._n_real_tiles
-
-        # per-tile bounding boxes over the real members (for pruning)
-        lo = np.full((self._n_real_tiles, self.n_dim), np.inf)
-        hi = np.full((self._n_real_tiles, self.n_dim), -np.inf)
-        for t in range(self._n_real_tiles):
-            members = sorted_pts[t * self._tile_n:(t + 1) * self._tile_n]
-            if members.size:
-                lo[t] = members.min(axis=0)
-                hi[t] = members.max(axis=0)
-        self._tile_lo, self._tile_hi = lo, hi
-
-        # uniform-density estimate of the k-NN radius (pruning start value)
-        extent = np.maximum(sorted_pts.max(axis=0) - sorted_pts.min(axis=0), 1e-30)
-        self._density = self.n_points / float(np.prod(extent))
 
         self._points = jnp.asarray(pts, dtype=dtype)
         self._points_sq = jnp.asarray(sq, dtype=jnp.float32)
         self._points_host = centered  # for predict_host (tiny-query fast path)
+        self._pad_idx = self.n_points  # first pad row (always exists)
+
+        self._grid = None
+        if (self.n_points >= self.GRID_MIN_POINTS and self.n_dim in (2, 3)):
+            self._build_grid(sorted_pts)
+
         self._values = None
         if values is not None:
             self.set_values(values)
+
+    def _build_grid(self, sorted_pts: np.ndarray) -> None:
+        """Bucket grid over the sorted cloud (build plan §7.3): uniform cells
+        of size ``h`` ≈ (occupancy/density)^(1/d); each cell stores up to
+        ``GRID_CAPACITY`` member indices. A query's exact k-NN lies in its
+        3^d neighborhood whenever d_k ≤ h — verified per query, with a
+        full-scan fallback for the rest (overflowing cells, sparse regions,
+        out-of-bbox queries)."""
+        d = self.n_dim
+        lo = sorted_pts.min(axis=0)
+        hi = sorted_pts.max(axis=0)
+        extent = np.maximum(hi - lo, 1e-30)
+        density = self.n_points / float(np.prod(extent))
+        h = (self.GRID_OCCUPANCY / density) ** (1.0 / d)
+        dims = np.maximum(np.ceil(extent / h).astype(np.int64), 1)
+        # cap the total cell count at ~4 points of storage per point
+        while np.prod(dims) * self.GRID_CAPACITY > 8 * self.n_points + 4096:
+            h *= 1.26
+            dims = np.maximum(np.ceil(extent / h).astype(np.int64), 1)
+        n_cells = int(np.prod(dims))
+
+        cc = np.clip(((sorted_pts - lo) / h).astype(np.int64), 0, dims - 1)
+        flat = cc[:, 0]
+        for ax in range(1, d):
+            flat = flat * dims[ax] + cc[:, ax]
+
+        order = np.argsort(flat, kind="stable")
+        counts = np.bincount(flat, minlength=n_cells)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos_in_cell = np.arange(self.n_points) - starts[flat[order]]
+
+        C = self.GRID_CAPACITY
+        cell_list = np.full((n_cells + 1, C), self._pad_idx, dtype=np.int32)
+        keep = pos_in_cell < C
+        cell_list[flat[order][keep], pos_in_cell[keep]] = order[keep].astype(np.int32)
+        overflow = np.zeros(n_cells + 1, dtype=bool)
+        overflow[:n_cells] = counts > C
+
+        self._grid = {
+            "h": float(h),
+            "origin": jnp.asarray(lo, dtype=jnp.float32),
+            "inv_h": jnp.float32(1.0 / h),
+            "dims": jnp.asarray(dims, dtype=jnp.int32),
+            "cell_list": jnp.asarray(cell_list),
+            "overflow": jnp.asarray(overflow),
+        }
 
     def _morton_codes(self, pts: np.ndarray) -> np.ndarray:
         from . import morton
@@ -332,115 +362,97 @@ class KNNIndex:
         return self._perm_pad_cache
 
     # ------------------------------------------------------------------ #
-    # tile-pruned search (Morton tiling + verified radius)                #
+    # bucket-grid search (exact, verified; full-scan fallback)            #
     # ------------------------------------------------------------------ #
-    def _candidate_tiles(self, chunk: np.ndarray, radius: float):
-        """Real tiles whose bbox lies within ``radius`` of the chunk bbox;
-        returns (tile_ids ascending, per-tile squared bbox distances)."""
-        clo, chi = chunk.min(axis=0), chunk.max(axis=0)
-        gap = np.maximum(0.0, np.maximum(self._tile_lo - chi, clo - self._tile_hi))
-        dist2 = (gap ** 2).sum(axis=1)
-        cand = np.nonzero(dist2 <= radius * radius)[0]
-        if cand.size == 0:
-            cand = np.asarray([int(np.argmin(dist2))])
-        return cand, dist2
-
-    def _dispatch_tiles(self, chunk: np.ndarray, cand: np.ndarray, k: int,
-                        mode: str):
-        n = chunk.shape[0]
-        n_pad = _bucket_pow2(n, self._tile_q)
-        qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
-        qarr[:n] = chunk
-        t_pad = _bucket_pow2(cand.size, 4)
-        tiles = np.full(t_pad, self._dummy_tile, dtype=np.int32)
-        tiles[:cand.size] = cand
+    def _full_scan(self, queries_centered: np.ndarray, k: int, mode: str):
+        """Plain chunked full scan on pre-centered queries."""
         if mode == "predict":
-            return _predict_tiles(jnp.asarray(qarr), self._points, self._points_sq,
-                                  self._values, jnp.asarray(tiles), k,
-                                  self._tile_n, self._tile_q)
-        return _query_tiles(jnp.asarray(qarr), self._points, self._points_sq,
-                            jnp.asarray(tiles), k, self._tile_n, self._tile_q)
+            return self._run_chunked(
+                lambda qarr: _predict_padded(qarr, self._points, self._points_sq,
+                                             self._values, k, self._tile_n,
+                                             self._tile_q),
+                queries_centered + self._shift)
+        dists, idx = self._run_chunked(
+            lambda qarr: _query_padded(qarr, self._points, self._points_sq, k,
+                                       self._tile_n, self._tile_q),
+            queries_centered + self._shift)
+        return dists * dists, idx
 
-    def _pruned_run(self, queries: np.ndarray, k: int, mode: str):
-        """Exact pruned search: dispatch every chunk against its candidate
-        tiles, then VERIFY — a result is accepted only if every excluded
-        tile's bbox is farther than the chunk's worst selected neighbor;
-        failed chunks retry with a doubled radius (full scan in the limit).
+    def _grid_run(self, queries: np.ndarray, k: int, mode: str):
+        """Grid fast path with per-query exactness verification.
 
-        ``mode``: "query" → (sq, idx_sorted); "predict" → pred.
+        A query's result is accepted only if its worst selected neighbor lies
+        within one cell size (then the 3^d neighborhood provably contains the
+        exact k-NN) and none of its neighborhood cells overflowed; all other
+        queries are re-run through the exact full scan.
         """
+        g = self._grid
         q_total = queries.shape[0]
-        chunks = [(ci, queries[lo:lo + self.PRUNE_CHUNK])
-                  for ci, lo in enumerate(range(0, q_total, self.PRUNE_CHUNK))]
-        r0 = self.PRUNE_RADIUS_FACTOR * ((k + 1) / self._density) ** (1.0 / self.n_dim)
-        results = [None] * len(chunks)
-        todo = [(ci, chunk, r0) for ci, chunk in chunks]
+        qf32 = queries.astype(np.float32)
+        pending = []
+        for lo in range(0, q_total, self.GRID_CHUNK):
+            chunk = qf32[lo:lo + self.GRID_CHUNK]
+            n = chunk.shape[0]
+            n_pad = _bucket_pow2(n, min(self._tile_q, self.GRID_CHUNK))
+            qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
+            qarr[:n] = chunk
+            if mode == "predict":
+                fut = _grid_predict_kernel(
+                    jnp.asarray(qarr), self._points, self._values,
+                    g["cell_list"], g["overflow"], g["origin"], g["inv_h"],
+                    g["dims"], k)
+            else:
+                fut = _grid_query_kernel(
+                    jnp.asarray(qarr), self._points, g["cell_list"],
+                    g["overflow"], g["origin"], g["inv_h"], g["dims"], k)
+            pending.append((lo, n, fut))
 
-        while todo:
-            pending = []
-            for ci, chunk, radius in todo:
-                cand, dist2 = self._candidate_tiles(chunk, radius)
-                fut = self._dispatch_tiles(chunk, cand, k, mode)
-                pending.append((ci, chunk, radius, cand, dist2, fut))
-
-            todo = []
-            for ci, chunk, radius, cand, dist2, fut in pending:
-                n = chunk.shape[0]
-                if mode == "predict":
-                    pred, sqmax = fut
-                    max_sq = float(np.asarray(sqmax)[:n].max())
-                    out = np.asarray(pred)[:n]
-                else:
-                    sq, idx = fut
-                    sq = np.asarray(sq)[:n]
-                    max_sq = float(sq.max())
-                    out = (sq, np.asarray(idx)[:n])
-
-                full = cand.size == self._n_real_tiles
-                if not full:
-                    excluded = np.ones(self._n_real_tiles, dtype=bool)
-                    excluded[cand] = False
-                    # conservative margin against f32 rounding of distances
-                    if dist2[excluded].min() <= max_sq * (1.0 + 1e-4) + 1e-12:
-                        todo.append((ci, chunk, radius * 2.0))
-                        continue
-                results[ci] = out
-
+        # conservative acceptance: d_k strictly inside one cell size
+        max_sq_ok = (g["h"] ** 2) * (1.0 - 1e-4)
         if mode == "predict":
-            return np.concatenate(results)
-        sqs = np.concatenate([r[0] for r in results])
-        idxs = np.concatenate([r[1] for r in results])
-        return sqs, idxs
+            out = np.empty((q_total,) + (() if self._values_host.ndim == 1
+                                         else (self._values_host.shape[1],)),
+                           dtype=np.float32)
+        else:
+            out_sq = np.empty((q_total, k), dtype=np.float32)
+            out_idx = np.empty((q_total, k), dtype=np.int32)
+        bad_rows = []
+        for lo, n, fut in pending:
+            if mode == "predict":
+                pred, sqmax, ovf = fut
+                pred = np.asarray(pred)[:n]
+                ok = (np.asarray(sqmax)[:n] <= max_sq_ok) & ~np.asarray(ovf)[:n]
+                out[lo:lo + n] = pred
+            else:
+                sq, idx, ovf = fut
+                sq = np.asarray(sq)[:n]
+                ok = (sq.max(axis=1) <= max_sq_ok) & ~np.asarray(ovf)[:n]
+                out_sq[lo:lo + n] = sq
+                out_idx[lo:lo + n] = np.asarray(idx)[:n]
+            bad_rows.append(lo + np.nonzero(~ok)[0])
+
+        bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, dtype=int)
+        if bad.size:
+            fb = self._full_scan(queries[bad], k, mode)
+            if mode == "predict":
+                out[bad] = fb
+            else:
+                out_sq[bad], out_idx[bad] = fb
+
+        return out if mode == "predict" else (out_sq, out_idx)
 
     def _spatial_run(self, queries, k: int, mode: str):
-        """Route through the pruned path (Morton-sorted queries) when the
-        cloud has enough tiles for pruning to pay, else the plain full scan.
+        """Route through the bucket grid when available (its 3^d·C candidate
+        set must also be able to hold k), else the plain full scan.
 
         Returns ``(sq, idx_sorted)`` for mode "query", ``pred`` for
         "predict" — idx in SORTED-point indexing (map via ``_perm_pad``).
         """
         queries = np.asarray(queries, dtype=np.float64) - self._shift
-        if self._n_real_tiles < self.PRUNE_MIN_TILES or queries.shape[0] == 0:
-            if mode == "predict":
-                return self._run_chunked(
-                    lambda qarr: _predict_padded(qarr, self._points, self._points_sq,
-                                                 self._values, k, self._tile_n,
-                                                 self._tile_q),
-                    queries + self._shift)
-            sq, idx = self._run_chunked(
-                lambda qarr: _query_padded(qarr, self._points, self._points_sq, k,
-                                           self._tile_n, self._tile_q),
-                queries + self._shift)
-            return sq * sq, idx  # _query_padded returns distances; square back
-
-        qorder = np.argsort(self._morton_codes(queries), kind="stable")
-        out = self._pruned_run(queries[qorder].astype(np.float32), k, mode)
-        unsort = np.empty_like(qorder)
-        unsort[qorder] = np.arange(qorder.size)
-        if mode == "predict":
-            return out[unsort]
-        sq, idx = out
-        return sq[unsort], idx[unsort]
+        if (self._grid is None or queries.shape[0] == 0
+                or k > (3 ** self.n_dim) * self.GRID_CAPACITY):
+            return self._full_scan(queries, k, mode)
+        return self._grid_run(queries, k, mode)
 
     # ------------------------------------------------------------------ #
     # public API                                                          #

@@ -197,3 +197,70 @@ class TestChunking:
         c_chunk, l_chunk = build()
         np.testing.assert_allclose(c_chunk, c_ref)
         np.testing.assert_array_equal(l_chunk, l_ref)
+
+
+class TestBucketGrid:
+    def test_grid_matches_bruteforce_uniform(self, monkeypatch):
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+        rng = np.random.default_rng(12)
+        pts = rng.uniform(size=(20_000, 2))
+        q = rng.uniform(-0.02, 1.02, size=(800, 2))   # incl. out-of-bbox
+        index = KNNIndex(pts)
+        assert index._grid is not None
+        dists, idx = index.query(q, 8)
+        full = np.linalg.norm(q[:, None, :].astype(np.float32)
+                              - pts[None, :, :].astype(np.float32), axis=-1)
+        ref = np.sort(full, axis=1)[:, :8]
+        np.testing.assert_allclose(np.sort(dists, 1), ref, rtol=1e-4, atol=1e-6)
+
+    def test_grid_matches_bruteforce_clustered(self, monkeypatch):
+        """Heavily clustered cloud: overflowing cells must fall back exactly."""
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+        rng = np.random.default_rng(13)
+        pts = np.concatenate([rng.uniform(size=(5000, 2)),
+                              rng.normal([0.5, 0.5], 0.005, size=(15_000, 2))])
+        q = np.concatenate([rng.uniform(size=(300, 2)),
+                            rng.normal([0.5, 0.5], 0.01, size=(300, 2))])
+        index = KNNIndex(pts)
+        dists, idx = index.query(q, 8)
+        full = np.linalg.norm(q[:, None, :].astype(np.float32)
+                              - pts[None, :, :].astype(np.float32), axis=-1)
+        ref = np.sort(full, axis=1)[:, :8]
+        np.testing.assert_allclose(np.sort(dists, 1), ref, rtol=1e-4, atol=1e-6)
+
+    def test_grid_predict_matches_fullscan(self, monkeypatch):
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+        rng = np.random.default_rng(14)
+        pts = rng.uniform(size=(30_000, 3))
+        vals = np.sin(pts.sum(1))
+        q = rng.uniform(size=(500, 3))
+        grid_index = KNNIndex(pts, values=vals)
+        assert grid_index._grid is not None
+        pred_grid = grid_index.predict(q, 26)
+        pred_full = grid_index._full_scan(
+            np.asarray(q, np.float64) - grid_index._shift, 26, "predict")
+        np.testing.assert_allclose(pred_grid, pred_full, rtol=1e-5, atol=1e-6)
+
+    def test_engine_grid_epoch_equivalent(self, monkeypatch):
+        """Refinement grids must be identical with and without the bucket
+        grid in the fused epoch kernel."""
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+        from sparsespatialsampling_tpu.engine.tree import SamplingTree
+        from sparsespatialsampling_tpu.geometry import CubeGeometry
+
+        rng = np.random.default_rng(15)
+        xy = rng.uniform(size=(40_000, 2))
+        metric = np.exp(-((xy[:, 0] - 0.5) ** 2 + (xy[:, 1] - 0.5) ** 2) / 0.03)
+
+        def build():
+            st = SamplingTree(xy, metric,
+                              [CubeGeometry("domain", True, [0, 0], [1, 1])],
+                              uniform_level=3, n_cells=1500)
+            st.refine()
+            return st.all_centers, st.all_levels
+
+        c_grid, l_grid = build()
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 10 ** 12)  # grid off
+        c_full, l_full = build()
+        np.testing.assert_allclose(c_grid, c_full)
+        np.testing.assert_array_equal(l_grid, l_full)
