@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.knn import KNNIndex, _search, _idw, _grid_candidates
+from ..ops.knn import KNNIndex, _search, _idw, _grid_cells
 from ..ops import morton
 
 logger = logging.getLogger(__name__)
@@ -412,8 +412,10 @@ class SamplingTree:
                     points, values, cell_list, overflow, origin, inv_h, dims,
                     max_sq_ok):
             qflat = query_centers(coords, level, lo, width, dirs, shift)
-            d2, cand, ovf = _grid_candidates(qflat, points, cell_list, overflow,
-                                             origin, inv_h, dims)
+            cand, ovf = _grid_cells(qflat, cell_list, overflow,
+                                    origin, inv_h, dims)
+            cpts = points[cand]
+            d2 = jnp.sum((qflat[:, None, :] - cpts) ** 2, axis=-1)
             top_s, sel = jax.lax.top_k(-d2, k)
             sq = -top_s
             idx = jnp.take_along_axis(cand, sel, axis=1)

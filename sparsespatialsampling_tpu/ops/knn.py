@@ -123,17 +123,16 @@ def _neighbor_offsets(d: int) -> np.ndarray:
                     axis=-1).reshape(-1, d).astype(np.int32)
 
 
-def _grid_candidates(queries, points, cell_list, cell_overflow, origin, inv_h, dims):
-    """Gather the 3^d-neighborhood candidates of each query from the bucket
-    grid and compute exact squared distances.
+def _grid_cells(anchors, cell_list, cell_overflow, origin, inv_h, dims):
+    """Candidate member lists of each anchor's 3^d grid neighborhood.
 
     ``cell_list [n_cells+1, C]`` int32 (last row = empty cell, all pad ids;
     pad point coords are huge so their distances are +inf).  Returns
-    ``(d2 [Q, 3^d·C], cand [Q, 3^d·C], overflow [Q])``.
+    ``(cand [Q, 3^d·C], overflow [Q])``.
     """
-    d = queries.shape[1]
+    d = anchors.shape[1]
     offs = jnp.asarray(_neighbor_offsets(d))
-    cc = jnp.floor((queries - origin) * inv_h).astype(jnp.int32)       # [Q, d]
+    cc = jnp.floor((anchors - origin) * inv_h).astype(jnp.int32)        # [Q, d]
     nb = cc[:, None, :] + offs[None, :, :]                              # [Q, 3^d, d]
     valid = jnp.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)  # [Q, 3^d]
     flat = nb[..., 0]
@@ -142,10 +141,21 @@ def _grid_candidates(queries, points, cell_list, cell_overflow, origin, inv_h, d
     empty = cell_list.shape[0] - 1
     flat = jnp.where(valid, flat, empty)
 
-    cand = cell_list[flat].reshape(queries.shape[0], -1)                # [Q, 3^d·C]
+    cand = cell_list[flat].reshape(anchors.shape[0], -1)                # [Q, 3^d·C]
+    overflow = cell_overflow[flat].any(axis=1)
+    return cand, overflow
+
+
+def _grid_candidates(queries, points, cell_list, cell_overflow, origin, inv_h, dims):
+    """Gather the 3^d-neighborhood candidates of each query from the bucket
+    grid and compute exact squared distances.
+
+    Returns ``(d2 [Q, 3^d·C], cand [Q, 3^d·C], overflow [Q])``.
+    """
+    cand, overflow = _grid_cells(queries, cell_list, cell_overflow,
+                                 origin, inv_h, dims)
     cpts = points[cand]                                                 # [Q, 3^d·C, d]
     d2 = jnp.sum((queries[:, None, :] - cpts) ** 2, axis=-1)
-    overflow = cell_overflow[flat].any(axis=1)
     return d2, cand, overflow
 
 
