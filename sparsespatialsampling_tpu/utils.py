@@ -66,8 +66,15 @@ def compute_svd(data_matrix, cell_area, rank: int = None) -> Tuple[np.ndarray, n
         # stack components row-wise for one joint decomposition
         stacked = data_matrix.reshape(field_shape[0] * field_shape[1], field_shape[-1])
 
-    if rank is not None and stacked.shape[0] > _RSVD_ROW_THRESHOLD:
-        u, s, v = randomized_svd(stacked, rank)
+    if stacked.shape[0] > _RSVD_ROW_THRESHOLD:
+        # beyond reference-tutorial scale the exact SVD's O(m n²) cost
+        # dominates; sketch generously when no rank was requested and
+        # truncate by the optimal-rank criterion afterwards
+        sketch = rank if rank is not None else min(stacked.shape[1], 256)
+        u, s, v = randomized_svd(stacked, sketch)
+        if rank is None:
+            rank = optimal_rank(s, stacked.shape)
+            u, s, v = u[:, :rank], s[:rank], v[:, :rank]
     else:
         u, s, v = economy_svd(stacked)
         if rank is None:

@@ -355,3 +355,27 @@ class TestVertexInterpolation:
             n_nodes = f["grid/vertices"].shape[0]
             assert grp["pv_vertices"].shape[0] == n_nodes
             assert grp["pv_center"].shape[0] == executed_s3.faces.shape[0]
+
+
+class TestLargeSVD:
+    def test_rsvd_auto_path_matches_economy(self, monkeypatch):
+        """Above the row threshold, compute_svd switches to randomized SVD
+        with optimal-rank truncation; leading modes must match the exact
+        decomposition."""
+        import sparsespatialsampling_tpu.utils as utils_mod
+        rng = np.random.default_rng(20)
+        u0 = rng.normal(size=(5000, 4)); v0 = rng.normal(size=(4, 60))
+        a = ((u0 * [40, 15, 6, 2]) @ v0).astype(np.float32)
+        a += 1e-3 * rng.normal(size=a.shape).astype(np.float32)
+        w = np.ones(5000, dtype=np.float32)
+
+        s_exact, U_exact, _ = compute_svd(a.copy(), w)
+        monkeypatch.setattr(utils_mod, "_RSVD_ROW_THRESHOLD", 1000)
+        s_rand, U_rand, _ = compute_svd(a.copy(), w)
+
+        n = min(4, len(s_exact), len(s_rand))
+        np.testing.assert_allclose(s_rand[:n], s_exact[:n], rtol=1e-2)
+        for i in range(n):  # modes defined up to sign
+            dot = abs(np.dot(U_rand[:, i], U_exact[:, i]))
+            norm = np.linalg.norm(U_rand[:, i]) * np.linalg.norm(U_exact[:, i])
+            assert dot / norm > 0.99
