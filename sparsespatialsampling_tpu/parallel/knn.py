@@ -40,6 +40,7 @@ class ShardedKNNIndex:
         centered = points - self._shift
 
         padded = pad_to_multiple(centered, self.n_shards)
+        self._points_host = padded  # avoids a full-cloud readback per query
         self._n_padded = padded.shape[0]
         sq = np.full(self._n_padded, np.inf, dtype=np.float32)
         sq[:self.n_points] = (centered.astype(np.float64) ** 2).sum(axis=1)
@@ -58,6 +59,7 @@ class ShardedKNNIndex:
         values = np.asarray(values, dtype=np.float32)
         assert values.shape[0] == self.n_points
         self._values = jnp.asarray(values)  # replicated (small)
+        self._values_host = values
 
     def _build(self, k: int):
         n_local = self._n_padded // self.n_shards
@@ -89,8 +91,7 @@ class ShardedKNNIndex:
         _, idx = self._query_fn(jnp.asarray(q), self._points, self._points_sq)
         idx = np.asarray(idx)
         # exact distances recomputed host-side on the selected neighbors only
-        pts = np.asarray(self._points)
-        delta = q[:, None, :] - pts[idx]
+        delta = q[:, None, :] - self._points_host[idx]
         dists = np.sqrt(np.maximum((delta * delta).sum(-1), 0.0))
         return dists, idx
 
@@ -104,7 +105,7 @@ class ShardedKNNIndex:
     def predict(self, queries, k: int):
         assert self._values is not None
         w, idx = self.weights(queries, k)
-        vals = np.asarray(self._values)[idx]
+        vals = self._values_host[idx]
         if vals.ndim == 3:
             return np.einsum("qk,qkc->qc", w, vals)
         return np.einsum("qk,qk->q", w, vals)
