@@ -379,3 +379,35 @@ class TestLargeSVD:
             dot = abs(np.dot(U_rand[:, i], U_exact[:, i]))
             norm = np.linalg.norm(U_rand[:, i]) * np.linalg.norm(U_exact[:, i])
             assert dot / norm > 0.99
+
+
+class TestMisc:
+    def test_list_geometries_logs_all_classes(self, caplog):
+        import logging
+        from sparsespatialsampling_tpu import list_geometries
+        with caplog.at_level(logging.INFO,
+                             logger="sparsespatialsampling_tpu.sparse_spatial_sampling"):
+            list_geometries()
+        text = caplog.text
+        for name in ("CubeGeometry", "SphereGeometry", "GeometrySTL3D",
+                     "PyramidGeometry3D", "GeometryCoordinates2D"):
+            assert name in text
+
+    def test_deep_level_fallback_path(self, monkeypatch):
+        """Cells beyond level 22 must route through the float64 host-assisted
+        gain/validity path (f32 lattice coords lose exactness there)."""
+        from sparsespatialsampling_tpu.engine.tree import SamplingTree
+        rng = np.random.default_rng(21)
+        xy = rng.uniform(size=(2000, 2))
+        metric = np.exp(-((xy[:, 0] - 0.5) ** 2) / 0.05)
+        st = SamplingTree(xy, metric,
+                          [CubeGeometry("domain", True, [0, 0], [1, 1])],
+                          uniform_level=1, n_cells=50)
+        st.refine()
+        # simulate deep cells: force levels above the f32 threshold and
+        # verify the fallback path produces finite gains without error
+        alive = np.nonzero(st._alive[:st._n_cells])[0][:4]
+        st._level[alive] = 23
+        st._coords[alive] = np.arange(4)[:, None] + (1 << 22)
+        st._process_new_cells(alive)
+        assert np.isfinite(st._gain[alive]).all()
