@@ -562,10 +562,11 @@ class SamplingTree:
         return new_idx
 
     def _refine_uniform(self) -> None:
-        """Uniform background refinement (reference ``s_cube.py:508-561``);
-        gains are computed once at the end — every leaf after the final sweep
-        was created in it, so batch-computing then is equivalent to the
-        reference's per-sweep updates."""
+        """Uniform background refinement (reference ``s_cube.py:508-561``):
+        every sweep splits all alive leaves into 2^d children, then ONE fused
+        device call per sweep computes the children's gain + metric + validity
+        (``_process_new_cells``) — matching the reference's per-sweep updates
+        at one readback per sweep."""
         logger.info("Starting uniform refinement.")
         self._times["t_start_uniform"] = time()
         for j in range(self._min_level):

@@ -37,15 +37,7 @@ class Dataloader:
         self._file_name = file_name
         self._dtype = np.dtype(dtype)
 
-        with File(join(self._load_path, self._file_name), "r") as f:
-            centers = f.get(f"{GRID}/{CENTERS}")
-            self._n_cells = centers.shape[0]
-            self._n_dimensions = centers.shape[1]
-            try:
-                self._size_initial_cell = f.get(f"{CONST}/size_initial_cell")[()]
-            except TypeError:
-                self._size_initial_cell = None
-                logger.warning("Could not load initial cell size.")
+        self._load_header()
 
         # lazily loaded properties
         self._write_times = None
@@ -161,12 +153,19 @@ class Dataloader:
         self._file_name = value
         self._reset()
 
-    def _reset(self) -> None:
+    def _load_header(self) -> None:
         with File(join(self._load_path, self._file_name), "r") as f:
             centers = f.get(f"{GRID}/{CENTERS}")
             self._n_cells = centers.shape[0]
             self._n_dimensions = centers.shape[1]
-            self._size_initial_cell = f.get(f"{CONST}/size_initial_cell")[()]
+            try:
+                self._size_initial_cell = f.get(f"{CONST}/size_initial_cell")[()]
+            except TypeError:
+                self._size_initial_cell = None
+                logger.warning("Could not load initial cell size.")
+
+    def _reset(self) -> None:
+        self._load_header()
         self._write_times = None
         self._weights = None
         self._levels = None

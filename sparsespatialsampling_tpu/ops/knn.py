@@ -504,5 +504,7 @@ class KNNIndex:
         dists = np.sqrt(np.take_along_axis(d2, idx, axis=1))
         w = 1.0 / np.clip(dists, 1e-12, None)
         w /= w.sum(axis=1, keepdims=True)
-        vals = self._values_host[idx]
+        vals = self._values_host[idx]  # [Q, k] or [Q, k, C]
+        if vals.ndim == 3:
+            return (w[..., None] * vals).sum(axis=1)
         return (w * vals).sum(axis=1)

@@ -73,6 +73,15 @@ def compute_svd(data_matrix, cell_area, rank: int = None) -> Tuple[np.ndarray, n
         sketch = rank if rank is not None else min(stacked.shape[1], 256)
         u, s, v = randomized_svd(stacked, sketch)
         if rank is None:
+            # the Gavish-Donoho criterion normally uses the median of the FULL
+            # spectrum; on the truncated sketch the median over the top
+            # ``sketch`` values overestimates the noise floor, so the auto-rank
+            # here is approximate and errs toward fewer modes
+            logger.warning(
+                f"Automatic rank selection on the randomized-SVD path (> "
+                f"{_RSVD_ROW_THRESHOLD} rows) thresholds the truncated sketch "
+                f"spectrum and is approximate/conservative; pass an explicit "
+                f"'rank' for exact control.")
             rank = optimal_rank(s, stacked.shape)
             u, s, v = u[:, :rank], s[:rank], v[:, :rank]
     else:
@@ -154,7 +163,9 @@ def compute_dmd(data_matrix, cell_area=None, rank: int = None, dt: float = 1.0):
 
     if cell_area is not None:
         sqrt_area = np.sqrt(np.asarray(cell_area, dtype=np.float32))
-        rows = np.tile(sqrt_area, shape[1]) if data_matrix.ndim == 3 else sqrt_area
+        # the C-order reshape above puts cell n's components at rows
+        # n*C .. n*C+C-1, so per-row weights repeat each cell's weight C times
+        rows = np.repeat(sqrt_area, shape[1]) if data_matrix.ndim == 3 else sqrt_area
         stacked = stacked * rows[:, None]
 
     result = exact_dmd(stacked, dt=dt, rank=rank)

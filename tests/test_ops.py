@@ -103,6 +103,18 @@ class TestKNN:
         dists, idx = index.query(pts[:3], 10)
         assert sorted(np.asarray(idx)[0].tolist()) == list(range(10))
 
+    def test_predict_host_multichannel(self):
+        """predict_host must accept [N, C] values like predict does."""
+        rng = np.random.default_rng(6)
+        pts = rng.uniform(size=(500, 2))
+        vals = rng.normal(size=(500, 3)).astype(np.float32)
+        q = rng.uniform(size=(20, 2))
+        index = KNNIndex(pts, values=vals)
+        host = index.predict_host(q, 8)
+        dev = np.asarray(index.predict(q, 8))
+        assert host.shape == (20, 3)
+        np.testing.assert_allclose(host, dev, rtol=1e-4, atol=1e-5)
+
 
 class TestInterpolate:
     def test_matches_manual_gather(self):

@@ -233,6 +233,19 @@ class TestExport:
         dl2 = Dataloader(executed_s3.save_path, "t_q2.h5")
         assert np.allclose(snap, dl2.load_snapshot("q2", times))
 
+    def test_file_setter_on_grid_only_file(self, exported):
+        """Re-pointing a Dataloader at a file without size_initial_cell must
+        warn like the constructor does, not crash (``_reset`` guard)."""
+        from h5py import File
+        save_path, _ = exported
+        with File(os.path.join(save_path, "grid_only.h5"), "w") as f:
+            f.create_group("grid").create_dataset(
+                "centers", data=np.zeros((5, 2), dtype=np.float64))
+        dl = Dataloader(save_path, "t.h5")
+        dl.file_name = "grid_only.h5"
+        assert dl.size_initial_cell is None
+        assert dl.n_cells == 5
+
 
 class TestSVD:
     def test_weighted_svd_roundtrip(self):
@@ -333,6 +346,28 @@ class TestDMD:
         res = compute_dmd(data, cell_area=area, rank=5)
         assert res["modes"].shape == (200, 2, 5)
         assert res["eigenvalues"].shape == (5,)
+
+    def test_dmd_vector_weighting_matches_pre_reshape(self):
+        """Area-weighting a vector field must be identical to weighting the
+        [N, C, S] data BEFORE the row-stacking reshape (each cell's weight
+        applies to all of its C component rows) — regression for a
+        tile-vs-repeat row-weight mixup."""
+        from sparsespatialsampling_tpu import compute_dmd
+        from sparsespatialsampling_tpu.ops.dmd import exact_dmd
+        rng = np.random.default_rng(9)
+        n, c, s = 120, 3, 24
+        data = rng.normal(size=(n, c, s)).astype(np.float32)
+        area = rng.uniform(0.5, 2.0, size=n).astype(np.float32)
+
+        res = compute_dmd(data, cell_area=area, rank=4)
+
+        w = np.sqrt(area)
+        ref = exact_dmd((data * w[:, None, None]).reshape(n * c, s),
+                        dt=1.0, rank=4)
+        np.testing.assert_allclose(res["eigenvalues"], ref["eigenvalues"],
+                                   rtol=1e-5)
+        expected_modes = (ref["modes"] / np.repeat(w, c)[:, None]).reshape(n, c, -1)
+        np.testing.assert_allclose(res["modes"], expected_modes, rtol=1e-5)
 
 
 class TestVertexInterpolation:
