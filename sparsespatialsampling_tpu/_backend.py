@@ -25,6 +25,14 @@ def enable_compilation_cache() -> None:
     global _CACHE_ENABLED
     if _CACHE_ENABLED or os.environ.get("S3_TPU_NO_COMPILATION_CACHE"):
         return
+    # CPU-only processes skip the persistent cache: XLA:CPU serializes
+    # AOT code for the exact host ISA but the cache key does NOT capture
+    # the host machine features, so a cache dir shared across heterogeneous
+    # hosts can load foreign AVX-flavored executables that mis-execute
+    # (observed as an intermittent NaN from a cached QR kernel). The remote
+    # compile cost the cache exists to amortize is TPU-only anyway.
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
     _CACHE_ENABLED = True
     if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "s3_tpu_jax")

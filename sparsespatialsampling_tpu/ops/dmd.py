@@ -51,8 +51,10 @@ def exact_dmd(data: np.ndarray, dt: float = 1.0, rank: int = None):
     proj = np.asarray(jnp.asarray(x_prime) @ (jnp.asarray(v) * (1.0 / s)))
     modes = proj @ w
 
-    # continuous-time quantities
-    log_ev = np.log(np.where(eigvals == 0, 1e-30, eigvals))
+    # continuous-time quantities; eig returns a real array when every
+    # eigenvalue is real — cast so log(negative) lands on the complex branch
+    # instead of NaN
+    log_ev = np.log(np.where(eigvals == 0, 1e-30, eigvals).astype(np.complex128))
     frequencies = log_ev.imag / (2 * np.pi * dt)
     growth_rates = log_ev.real / dt
 
