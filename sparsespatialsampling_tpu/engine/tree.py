@@ -199,9 +199,18 @@ class SamplingTree:
             self._relTol = relTol
 
         # k-NN regressor equivalent: k = 8 (2D) / 26 (3D), inverse-distance
-        # weights (reference ``s_cube.py:161-163``)
+        # weights (reference ``s_cube.py:161-163``). With more than one
+        # device the point cloud is sharded over the cell axis of a 1-D mesh
+        # and every epoch's k-NN runs as local-top-k + all_gather merge —
+        # the scale-out analog of the reference's single-node pool (§2.9).
         self._n_neighbors = 8 if self._n_dimensions == 2 else 26
-        self._knn = KNNIndex(vertices, values=target)
+        from ..parallel import sharding_enabled, make_mesh, ShardedKNNIndex
+        if sharding_enabled():
+            self._mesh = make_mesh()
+            self._knn = ShardedKNNIndex(vertices, self._mesh, values=target)
+        else:
+            self._mesh = None
+            self._knn = KNNIndex(vertices, values=target)
 
         # geometry masking kernels (compiled lazily per shape bucket);
         # per-geometry checkers are cached so the geometry-refinement loop
@@ -212,10 +221,15 @@ class SamplingTree:
         self._single_geo_validity = {}
         # fused per-epoch kernel (gain + metric + validity in ONE device call
         # and ONE packed readback — device→host syncs dominate the adaptive
-        # loop on remote TPUs); built lazily after gain0 exists. Disabled when
-        # pre_select routes expensive geometries through the host bbox filter.
+        # loop on remote TPUs); built lazily after gain0 exists. Expensive
+        # geometries (STL / polygon) are evaluated in FULL on device inside
+        # the kernel: the reference's bbox ``pre_select`` fast path
+        # (``s_cube.py:1832-1834``) is a CPU-era optimization — on TPU the
+        # vectorized predicate over every candidate cell is cheaper than the
+        # extra host round trip it would take to gate it. ``pre_select``
+        # still gates the host-side ``BatchedValidity`` paths (geometry
+        # refinement, deep-level float64 fallback).
         self._epoch_fn = None
-        self._epoch_fusable = not self._validity._expensive
 
         # flat cell arrays (append-only; index == creation order == tie-break)
         self._cap = 4096
@@ -361,23 +375,10 @@ class SamplingTree:
                            * sum_delta / (2 ** d) / self._gain0)
         self._metric_arr[idx] = pred[:, 0]
 
-    def _build_epoch_fn(self):
-        """Build the fused epoch kernel(s): metric prediction at own + child
-        centers (exact k-NN), gain formula, and geometry validity — one jitted
-        call returning a packed ``[M, 4]`` array (gain, metric, invalid, bad).
-
-        When the k-NN index has a bucket grid, the prediction uses the grid
-        fast path and ``bad`` marks cells whose queries could not be answered
-        exactly from the 3^d neighborhood (those re-run through the full-scan
-        variant). The k-NN arrays and all workload scalars are *arguments*,
-        not closures: closed-over device arrays would be baked into the HLO
-        as constants, bloating compile time and making the persistent-cache
-        key workload-specific instead of shape-specific."""
+    def _epoch_helpers(self):
+        """Shared traced helpers of the fused epoch kernels."""
         d = self._n_dimensions
-        k = self._n_neighbors
         geometries = list(self._geometry)
-        knn = self._knn
-        tile_n, tile_q = knn._tile_n, knn._tile_q
         n_children = 1 + 2 ** d
 
         def geometry_and_gain(coords, level, lo, width, gain0, dirs, offsets,
@@ -398,6 +399,93 @@ class SamplingTree:
             child_c = centers[:, None, :] + dirs[None, :, :] * (0.25 * h)[:, None, None]
             queries = jnp.concatenate([centers[:, None, :], child_c], axis=1)
             return (queries - shift).reshape(-1, d)
+
+        return geometry_and_gain, query_centers
+
+    def _epoch_common_args(self):
+        return (jnp.asarray(self._lo, dtype=jnp.float32),
+                jnp.float32(self._width), jnp.float32(self._gain0),
+                jnp.asarray(self._dirs, dtype=jnp.float32),
+                jnp.asarray(self._offsets, dtype=jnp.float32),
+                jnp.asarray(self._knn._shift, dtype=jnp.float32))
+
+    def _build_epoch_fn_sharded(self):
+        """Fused epoch kernel over the device mesh: the indexed point cloud
+        is row-sharded (1-D ``cells`` mesh); each device computes its exact
+        local top-k (MXU score matmul + exact re-distancing on the selected
+        candidates), the per-device candidates are ``all_gather``-merged —
+        k·n_dev rows per query over ICI — and the gain/metric/geometry tail
+        runs replicated. Same one-call/one-readback contract and packed
+        ``[M, 4]`` output as the single-chip kernel."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        from ..parallel.mesh import CELL_AXIS
+
+        d = self._n_dimensions
+        k = self._n_neighbors
+        knn = self._knn
+        geometry_and_gain, query_centers = self._epoch_helpers()
+        n_local = knn._n_padded // knn.n_shards
+
+        def knn_merge(qflat, points, points_sq):
+            scores = points_sq[None, :] - 2.0 * jnp.dot(
+                qflat, points.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            top_s, top_i = jax.lax.top_k(-scores, k)
+            delta = qflat[:, None, :] - points[top_i]
+            sq = jnp.sum(delta * delta, axis=-1)
+            # pad rows carry points_sq = +inf; keep them out of the merge
+            sq = jnp.where(jnp.isinf(points_sq[top_i]), jnp.inf, sq)
+            gidx = top_i + jax.lax.axis_index(CELL_AXIS) * n_local
+            all_sq = jax.lax.all_gather(sq, CELL_AXIS, axis=1, tiled=True)
+            all_i = jax.lax.all_gather(gidx, CELL_AXIS, axis=1, tiled=True)
+            neg, sel = jax.lax.top_k(-all_sq, k)
+            return -neg, jnp.take_along_axis(all_i, sel, axis=1)
+
+        knn_sharded = shard_map(
+            knn_merge, mesh=self._mesh,
+            in_specs=(P(), P(CELL_AXIS), P(CELL_AXIS)),
+            out_specs=(P(), P()), check_vma=False)
+
+        def fn(coords, level, lo, width, gain0, dirs, offsets, shift,
+               points, points_sq, values):
+            qflat = query_centers(coords, level, lo, width, dirs, shift)
+            sq, idx = knn_sharded(qflat, points, points_sq)
+            pred = jnp.einsum("qk,qk->q", _idw(sq), values[idx])
+            bad = jnp.zeros(coords.shape[0], dtype=jnp.bool_)
+            return geometry_and_gain(coords, level, lo, width, gain0, dirs,
+                                     offsets, pred, bad)
+
+        values_pad = np.zeros(knn._n_padded, dtype=np.float32)
+        values_pad[:knn.n_points] = knn._values_host
+        jit_fn = jax.jit(fn)
+        args = self._epoch_common_args() + (knn._points, knn._points_sq,
+                                            jnp.asarray(values_pad))
+        self._epoch_fn = lambda c, l: jit_fn(c, l, *args)
+        # exact full scan already — no grid fast path, so no retry variant
+        self._epoch_fn_full = self._epoch_fn
+
+    def _build_epoch_fn(self):
+        """Build the fused epoch kernel(s): metric prediction at own + child
+        centers (exact k-NN), gain formula, and geometry validity — one jitted
+        call returning a packed ``[M, 4]`` array (gain, metric, invalid, bad).
+
+        When the k-NN index has a bucket grid, the prediction uses the grid
+        fast path and ``bad`` marks cells whose queries could not be answered
+        exactly from the 3^d neighborhood (those re-run through the full-scan
+        variant). The k-NN arrays and all workload scalars are *arguments*,
+        not closures: closed-over device arrays would be baked into the HLO
+        as constants, bloating compile time and making the persistent-cache
+        key workload-specific instead of shape-specific."""
+        if self._mesh is not None:
+            self._build_epoch_fn_sharded()
+            return
+        d = self._n_dimensions
+        k = self._n_neighbors
+        knn = self._knn
+        tile_n, tile_q = knn._tile_n, knn._tile_q
+        n_children = 1 + 2 ** d
+        geometry_and_gain, query_centers = self._epoch_helpers()
 
         def fn_full(coords, level, lo, width, gain0, dirs, offsets, shift,
                     points, points_sq, values):
@@ -425,11 +513,7 @@ class SamplingTree:
             return geometry_and_gain(coords, level, lo, width, gain0, dirs,
                                      offsets, pred, bad)
 
-        common = (jnp.asarray(self._lo, dtype=jnp.float32),
-                  jnp.float32(self._width), jnp.float32(self._gain0),
-                  jnp.asarray(self._dirs, dtype=jnp.float32),
-                  jnp.asarray(self._offsets, dtype=jnp.float32),
-                  jnp.asarray(knn._shift, dtype=jnp.float32))
+        common = self._epoch_common_args()
 
         jit_full = jax.jit(fn_full)
         full_args = common + (knn._points, knn._points_sq, knn._values)
@@ -449,14 +533,14 @@ class SamplingTree:
     def _process_new_cells(self, idx: np.ndarray) -> None:
         """Gain + metric + validity for newly created cells.
 
-        Fused single-dispatch path when possible; falls back to the separate
-        gain/validity calls for pre-selected expensive geometries."""
+        Fused single-dispatch path; very deep levels (> 22) fall back to the
+        separate float64 host-assisted gain/validity calls."""
         if idx.size == 0:
             return
         # the fused kernel computes centers in float32: lattice coords are
         # exact up to 2^23, so very deep trees fall back to the float64
         # host-assisted path (final grid assembly is always float64)
-        if not self._epoch_fusable or self._level[idx].max() > 22:
+        if self._level[idx].max() > 22:
             self._update_gain(idx)
             self._remove_invalid_cells(idx)
             return

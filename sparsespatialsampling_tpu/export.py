@@ -95,6 +95,7 @@ class ExportData:
         self._n_neighbors = (n_neighbors if n_neighbors is not None
                              else (8 if self.n_dimensions == 2 else 26))
         self._knn = None
+        self._mesh = None
         self._knn_idx_centers = None
         self._knn_w_centers = None
         self._knn_idx_vertices = None
@@ -144,14 +145,22 @@ class ExportData:
         original CFD grid, with normalized inverse-distance weights
         (reference ``_build_knn_cache``, ``export.py:403-444``).  Cached
         across all fields/snapshots since both grids are static; re-fit if
-        the CFD grid changes shape."""
+        the CFD grid changes shape.  With more than one device the CFD
+        cloud is sharded over the mesh (``parallel/knn.py``)."""
+        from .parallel import sharding_enabled, make_mesh, ShardedKNNIndex
         coordinates = np.asarray(coordinates)
         if self._coord_shape is not None and coordinates.shape != self._coord_shape:
             self._knn = None
         self._coord_shape = coordinates.shape
 
         if self._knn is None:
-            self._knn = KNNIndex(coordinates.reshape(-1, self.n_dimensions))
+            pts = coordinates.reshape(-1, self.n_dimensions)
+            if sharding_enabled():
+                self._mesh = make_mesh()
+                self._knn = ShardedKNNIndex(pts, self._mesh)
+            else:
+                self._mesh = None
+                self._knn = KNNIndex(pts)
 
         w, idx = self._knn.weights(self._centers, self._n_neighbors)
         self._knn_w_centers = np.asarray(w)
@@ -194,14 +203,22 @@ class ExportData:
                             * self._metric[self._knn_idx_centers]).sum(axis=1)
             self._interpolated_metric = True
 
-        self._interpolated_fields.centers = interpolate_data(
-            self._knn_w_centers, self._knn_idx_centers, data, self._chunk_size)
+        self._interpolated_fields.centers = self._interpolate(
+            self._knn_w_centers, self._knn_idx_centers, data)
 
         if self._interpolate_at_vertices:
-            self._interpolated_fields.vertices = interpolate_data(
-                self._knn_w_vertices, self._knn_idx_vertices, data, self._chunk_size)
+            self._interpolated_fields.vertices = self._interpolate(
+                self._knn_w_vertices, self._knn_idx_vertices, data)
 
         self._snapshot_counter += data.shape[-1]
+
+    def _interpolate(self, w, idx, data) -> np.ndarray:
+        """Route one interpolation batch to the single-chip fused gather or,
+        on a multi-device mesh, to the cell-sharded kernel."""
+        if self._mesh is not None:
+            from .parallel import sharded_interpolate
+            return sharded_interpolate(w, idx, data, self._mesh)
+        return interpolate_data(w, idx, data, self._chunk_size)
 
     # ------------------------------------------------------------------ #
     # HDF5 output                                                         #

@@ -1,7 +1,7 @@
-from .mesh import make_mesh, default_mesh
+from .mesh import make_mesh, default_mesh, sharding_enabled, CELL_AXIS
 from .interpolate import sharded_interpolate
 from .svd import distributed_rsvd
 from .knn import ShardedKNNIndex
 
-__all__ = ["make_mesh", "default_mesh", "sharded_interpolate",
-           "distributed_rsvd", "ShardedKNNIndex"]
+__all__ = ["make_mesh", "default_mesh", "sharding_enabled", "CELL_AXIS",
+           "sharded_interpolate", "distributed_rsvd", "ShardedKNNIndex"]

@@ -15,6 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .mesh import CELL_AXIS, pad_to_multiple
+from ..ops.knn import MAX_QUERY_CHUNK, _bucket_pow2
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -84,12 +85,26 @@ class ShardedKNNIndex:
         self._k = k
 
     def query(self, queries, k: int):
-        """Exact k-NN: ``(dists [Q, k], idx [Q, k])`` (numpy)."""
+        """Exact k-NN: ``(dists [Q, k], idx [Q, k])`` (numpy).
+
+        Queries are chunked (≤ MAX_QUERY_CHUNK per device call — oversized
+        single programs can crash the TPU worker) and padded to power-of-two
+        buckets so the number of compiled shapes stays O(log Q); all chunks
+        are dispatched before any readback so they pipeline through JAX
+        async dispatch."""
         if self._query_fn is None or self._k != k:
             self._build(k)
         q = np.asarray(queries, dtype=np.float32) - self._shift
-        _, idx = self._query_fn(jnp.asarray(q), self._points, self._points_sq)
-        idx = np.asarray(idx)
+        pending = []
+        for lo in range(0, max(q.shape[0], 1), MAX_QUERY_CHUNK):
+            chunk = q[lo:lo + MAX_QUERY_CHUNK]
+            n = chunk.shape[0]
+            qarr = np.zeros((_bucket_pow2(n, 256), self.n_dim), dtype=np.float32)
+            qarr[:n] = chunk
+            pending.append(
+                (n, self._query_fn(jnp.asarray(qarr), self._points,
+                                   self._points_sq)))
+        idx = np.concatenate([np.asarray(fut[1])[:n] for n, fut in pending])
         # exact distances recomputed host-side on the selected neighbors only
         delta = q[:, None, :] - self._points_host[idx]
         dists = np.sqrt(np.maximum((delta * delta).sum(-1), 0.0))
@@ -109,3 +124,19 @@ class ShardedKNNIndex:
         if vals.ndim == 3:
             return np.einsum("qk,qkc->qc", w, vals)
         return np.einsum("qk,qk->q", w, vals)
+
+    def predict_host(self, queries, k: int) -> np.ndarray:
+        """Host-side exact variant for tiny query counts (mirrors
+        ``KNNIndex.predict_host``; e.g. the root-cell gain)."""
+        assert self._values is not None
+        q = np.asarray(queries, dtype=np.float64) - self._shift
+        pts = self._points_host[:self.n_points]
+        d2 = ((q[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        dists = np.sqrt(np.take_along_axis(d2, idx, axis=1))
+        w = 1.0 / np.clip(dists, 1e-12, None)
+        w /= w.sum(axis=1, keepdims=True)
+        vals = self._values_host[idx]
+        if vals.ndim == 3:
+            return (w[..., None] * vals).sum(axis=1)
+        return (w * vals).sum(axis=1)

@@ -8,11 +8,26 @@ geometry masking, k-NN queries, interpolation gathers, and the rSVD row
 blocks are all embarrassingly parallel over cells, and the only collectives
 are small ``psum``/``all_gather`` reductions that ride ICI.
 """
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh
 
 CELL_AXIS = "cells"
+
+
+def sharding_enabled() -> bool:
+    """True when the pipeline should shard its hot paths over all local
+    devices (k-NN epochs, interpolation, rSVD).
+
+    Multi-device sharding is the default whenever more than one device is
+    visible; set ``S3_TPU_DISABLE_SHARDING=1`` to force the single-chip code
+    path (used by the test suite to cover both paths on the virtual mesh).
+    """
+    if os.environ.get("S3_TPU_DISABLE_SHARDING", "").lower() in ("1", "true", "yes"):
+        return False
+    return len(jax.devices()) > 1
 
 
 def make_mesh(n_devices: int = None, axis_name: str = CELL_AXIS) -> Mesh:

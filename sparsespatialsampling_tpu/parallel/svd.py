@@ -4,8 +4,12 @@ Tall-skinny rSVD (Halko-Martinsson-Tropp) where the ``[m, n]`` matrix is
 row-sharded across the mesh.  The per-device work is MXU matmuls on the
 local row block; cross-device communication is only ``psum`` of ``[l, l]``
 Gram matrices and ``[l, n]`` projections — O(l²·n_dev) bytes over ICI,
-independent of the (huge) row count.  Orthogonalization uses CholeskyQR2,
-which needs two Gram-psum rounds instead of a distributed Householder QR.
+independent of the (huge) row count.  Orthogonalization is Gram-based
+(two rounds, like CholeskyQR2) but uses a rank-revealing eigh whitening
+instead of a Cholesky factor: when the sketch is numerically rank-deficient
+the float32 Gram matrix can be indefinite up to rounding, where Cholesky
+silently yields NaN — eigh with a relative eigenvalue floor zeroes the dead
+directions instead.
 
 This is the scale-out path for the 100M-cell configs in BASELINE.json;
 single-chip cases use ``ops/svd.py``.
@@ -21,23 +25,23 @@ from jax import shard_map
 from .mesh import CELL_AXIS, pad_to_multiple
 
 
-def _chol_qr(y, axis_name):
-    """One CholeskyQR step on a row-sharded ``y``: returns ``(q, r)`` with
-    q row-sharded and r replicated."""
+def _gram_whiten(y, axis_name):
+    """One Gram-whitening step on a row-sharded ``y``: q = y · V diag(λ^-½) Vᵀ
+    with an eigenvalue floor relative to λ_max; dead directions map to zero
+    columns (dropped later by the small SVD's truncation)."""
     gram = jax.lax.psum(
         jnp.dot(y.T, y, preferred_element_type=jnp.float32), axis_name)
-    # jitter for rank-deficient sketches
-    eps = 1e-6 * jnp.trace(gram) / gram.shape[0]
-    r = jnp.linalg.cholesky(gram + eps * jnp.eye(gram.shape[0], dtype=gram.dtype)).T
-    q = jax.scipy.linalg.solve_triangular(r.T, y.T, lower=True).T
-    return q, r
+    lam, v = jnp.linalg.eigh(gram)
+    floor = 1e-10 * jnp.maximum(lam[-1], 1e-30)
+    inv_sqrt = jnp.where(lam > floor, jax.lax.rsqrt(jnp.maximum(lam, floor)), 0.0)
+    return jnp.dot(y, v * inv_sqrt[None, :],
+                   preferred_element_type=jnp.float32) @ v.T
 
 
-def _chol_qr2(y, axis_name):
-    """CholeskyQR2: two rounds for float32-stable orthogonality."""
-    q1, r1 = _chol_qr(y, axis_name)
-    q2, r2 = _chol_qr(q1, axis_name)
-    return q2, r2 @ r1
+def _gram_whiten2(y, axis_name):
+    """Two whitening rounds for float32-stable orthogonality (the CholeskyQR2
+    pattern with the NaN-free factorization)."""
+    return _gram_whiten(_gram_whiten(y, axis_name), axis_name), None
 
 
 def distributed_rsvd(a, rank: int, mesh: Mesh, n_oversample: int = 10,
@@ -59,7 +63,7 @@ def distributed_rsvd(a, rank: int, mesh: Mesh, n_oversample: int = 10,
              out_specs=(P(CELL_AXIS), P(), P()))
     def kernel(a_local, omega):
         y = jnp.dot(a_local, omega, preferred_element_type=jnp.float32)
-        q, _ = _chol_qr2(y, CELL_AXIS)
+        q, _ = _gram_whiten2(y, CELL_AXIS)
         for _ in range(n_iter):
             # power iteration: z = Aᵀ q (psum over row shards), y = A z
             z = jax.lax.psum(
@@ -67,7 +71,7 @@ def distributed_rsvd(a, rank: int, mesh: Mesh, n_oversample: int = 10,
                 CELL_AXIS)
             z, _ = jnp.linalg.qr(z)  # [n, l] replicated — local QR
             y = jnp.dot(a_local, z, preferred_element_type=jnp.float32)
-            q, _ = _chol_qr2(y, CELL_AXIS)
+            q, _ = _gram_whiten2(y, CELL_AXIS)
         # b = qᵀ a : [l, n], psum over row shards
         b = jax.lax.psum(
             jnp.dot(q.T, a_local, preferred_element_type=jnp.float32),

@@ -69,9 +69,15 @@ def compute_svd(data_matrix, cell_area, rank: int = None) -> Tuple[np.ndarray, n
     if stacked.shape[0] > _RSVD_ROW_THRESHOLD:
         # beyond reference-tutorial scale the exact SVD's O(m n²) cost
         # dominates; sketch generously when no rank was requested and
-        # truncate by the optimal-rank criterion afterwards
+        # truncate by the optimal-rank criterion afterwards. On a
+        # multi-device mesh the rows are sharded and the Gram reductions
+        # ride ICI (``parallel/svd.py``).
+        from .parallel import sharding_enabled, make_mesh, distributed_rsvd
         sketch = rank if rank is not None else min(stacked.shape[1], 256)
-        u, s, v = randomized_svd(stacked, sketch)
+        if sharding_enabled():
+            u, s, v = distributed_rsvd(stacked, sketch, make_mesh())
+        else:
+            u, s, v = randomized_svd(stacked, sketch)
         if rank is None:
             # the Gavish-Donoho criterion normally uses the median of the FULL
             # spectrum; on the truncated sketch the median over the top

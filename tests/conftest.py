@@ -12,6 +12,11 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The pipeline auto-shards when >1 device is visible; the virtual mesh would
+# route EVERY test through the sharded path. Default the suite to the
+# single-chip path — tests/test_multichip_pipeline.py removes this per-test
+# to cover the sharded path and compare it against single-chip results.
+os.environ.setdefault("S3_TPU_DISABLE_SHARDING", "1")
 
 import jax  # noqa: E402
 

@@ -78,6 +78,24 @@ def test_distributed_rsvd_reconstruction(mesh):
     np.testing.assert_allclose(s, s_single, rtol=1e-2)
 
 
+def test_distributed_rsvd_rank_deficient_no_nan(mesh):
+    """A severely rank-deficient sketch (rank-4 signal, width-60 sketch) made
+    the float32 Gram matrix numerically indefinite — CholeskyQR silently
+    returned NaN. The eigh whitening must stay finite and match the exact
+    leading spectrum."""
+    rng = np.random.default_rng(20)
+    u0 = rng.normal(size=(5000, 4))
+    v0 = rng.normal(size=(4, 60))
+    a = ((u0 * [40, 15, 6, 2]) @ v0).astype(np.float32)
+    a += 1e-3 * rng.normal(size=a.shape).astype(np.float32)
+
+    U, s, V = distributed_rsvd(a, rank=50, mesh=mesh)
+    assert np.isfinite(s).all() and np.isfinite(U).all()
+
+    s_exact = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(s[:4], s_exact[:4], rtol=1e-2)
+
+
 def test_distributed_rsvd_orthogonal_modes(mesh):
     rng = np.random.default_rng(4)
     a = rng.normal(size=(2500, 40)).astype(np.float32)
