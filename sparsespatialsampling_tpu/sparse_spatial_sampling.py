@@ -9,10 +9,8 @@ scripts (e.g. ``post_processing/compare_execution_times_s_cube.py``) work
 unchanged.  Arrays are numpy on the host; all heavy numerics live in the
 engine (``engine/tree.py``) and run through JAX.
 """
-import inspect
 import logging
 import pickle
-import textwrap
 from os import makedirs, path
 from os.path import join
 from typing import Union
@@ -144,49 +142,60 @@ class SparseSpatialSampling:
         _save_object(self, join(self.save_path, f"s_cube_{self.save_name}.pt"))
 
     def _check_input(self) -> None:
-        """Validate + auto-correct user settings (reference ``_check_input``,
-        ``sparse_spatial_sampling.py:148-186``)."""
+        """Validate + auto-correct user settings (behavioral mirror of the
+        reference ``_check_input``, ``sparse_spatial_sampling.py:148-186``;
+        independently worded diagnostics)."""
         assert np.squeeze(self.metric).ndim == 1, (
-            f"The metric must be a 1D array of length {self.coordinates.shape[0]}. "
-            f"The shape of the metric given is {self.metric.shape}.")
+            f"'metric' must be a flat per-point array (one value for each of "
+            f"the {self.coordinates.shape[0]} grid points); got shape "
+            f"{self.metric.shape} instead.")
 
         if self._n_cells_max is None and self._min_metric > 1:
-            logger.warning("A value of min_metric > 1 is invalid. Changed min_metric to 1.")
+            logger.warning("'min_metric' is a captured-metric fraction and "
+                           "cannot exceed 1 — clamping it to 1.")
             self._min_metric = 1
 
-        assert self._geometries, ("No geometries are provided. Please provide at least one "
-                                  "geometry for the numerical domain.")
+        assert self._geometries, (
+            "'geometry_objects' is empty — pass at least the domain geometry "
+            "(a geometry object constructed with keep_inside=True).")
         assert any(g.keep_inside for g in self._geometries), (
-            "No geometry for the domain provided. At least one geometry object must have "
-            "'keep_inside = True' representing the numerical domain.")
+            "None of the geometry objects has keep_inside=True; exactly that "
+            "object defines the numerical domain S³ refines within.")
 
         if self._level_bounds <= 0:
-            logger.warning(f"Lower level bound of {self._level_bounds} is invalid. "
-                           f"Changed lower level bound to 1.")
+            logger.warning(f"'uniform_levels' must be at least 1 (got "
+                           f"{self._level_bounds}) — raising it to 1.")
             self._level_bounds = 1
 
         if self._n_cells_max is not None:
             logger.warning(
-                "Detected stopping criterion 'n_cells_max'. Passing this stopping criterion "
-                "deactivates the 'min_metric' stopping criterion. To use 'min_metric' as "
-                "stopping criterion, remove 'n_cells_max' or set 'n_cells_max = None'.")
+                "'n_cells_max' takes precedence as the stopping criterion: "
+                "the run stops at the cell budget and 'min_metric' is "
+                "ignored. Leave 'n_cells_max' unset (None) to stop on the "
+                "captured-metric target instead.")
 
 
 def list_geometries() -> None:
-    """Log all available geometry objects with a short description
-    (reference ``list_geometries``, ``sparse_spatial_sampling.py:190-212``)."""
+    """Log every available geometry class with a one-line summary
+    (behavioral mirror of the reference ``list_geometries``,
+    ``sparse_spatial_sampling.py:190-212``)."""
     from . import geometry
     from .geometry.base import GeometryObject
 
-    classes = [obj for _, obj in inspect.getmembers(geometry, inspect.isclass)
-               if issubclass(obj, GeometryObject) and obj is not GeometryObject]
+    entries = {}
+    for attr in dir(geometry):
+        cls = getattr(geometry, attr)
+        if (isinstance(cls, type) and issubclass(cls, GeometryObject)
+                and cls is not GeometryObject):
+            doc = getattr(cls, "__short_description__", None) or (cls.__doc__ or "")
+            summary = " ".join(doc.split())
+            if len(summary) > 96:
+                summary = summary[:96].rsplit(" ", 1)[0] + " ..."
+            entries[cls.__name__] = summary
 
-    msg = ["\n\tAvailable geometry objects:", "\t---------------------------"]
-    max_len = max(len(cls.__name__) for cls in classes)
-    for cls in sorted(classes, key=lambda c: c.__name__):
-        short_desc = getattr(cls, "__short_description__", cls.__doc__ or "")
-        short_desc = textwrap.shorten(short_desc, width=100, placeholder="…")
-        msg.append(f"\t\t- {cls.__name__.ljust(max_len)} : {short_desc}")
-
-    msg.append("\n\tFor a more detailed description check out the documentation.")
-    logger.info("\n".join(msg))
+    pad = max(map(len, entries), default=0)
+    lines = ["", "\tGeometry classes shipped with this package:"]
+    lines += [f"\t  {name:<{pad}}  {desc}"
+              for name, desc in sorted(entries.items())]
+    lines.append("\tSee the package docs for each class's constructor details.")
+    logger.info("\n".join(lines))
