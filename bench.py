@@ -1,17 +1,36 @@
 """S³ end-to-end benchmark: refine + interpolate + weighted SVD.
 
-Workload mirrors the reference's tutorial-2 OAT15A configuration
-(``docs/source/tutorials/tutorial2_oat15_buffet.ipynb``: 2D slice, ~245k
-original cells, ``n_cells_max=25_000``, ``uniform_levels=6``) on a synthetic
-transonic-buffet-like metric field, so the refinement stage is directly
-comparable to the published reference timing of **26.93 s** (n_jobs=4,
-laptop-class CPU; BASELINE.md).  On top of the grid generation it
-interpolates 50 snapshots of one scalar field and computes a rank-20
-weighted SVD — the full pipeline of ``examples/s3_for_OAT15_airfoil.py``.
+Two workloads:
+
+1. **OAT15 2D (headline)** — mirror of the reference's tutorial-2
+   configuration (``docs/source/tutorials/tutorial2_oat15_buffet.ipynb``:
+   2D slice, ~245k original cells, ``n_cells_max=25_000``,
+   ``uniform_levels=6``, an airfoil polygon with ``refine=True`` +
+   ``pre_select``) on a synthetic transonic-buffet-like metric field.  The
+   published reference timing for this exact configuration — INCLUDING its
+   6.89 s geometry phase — is **26.93 s** (n_jobs=4, laptop-class CPU;
+   BASELINE.md row 3).  On top of grid generation the bench interpolates 50
+   snapshots of one scalar field and computes a rank-20 weighted SVD — the
+   full pipeline of ``examples/s3_for_OAT15_airfoil.py``.
+
+2. **cylinder3D Re=3900 (north-star)** — 3D octree over 500k points with a
+   ``CylinderGeometry3D`` obstacle (``refine=True``) to ~150k cells, 50
+   snapshots interpolated, rank-20 weighted SVD (mirrors
+   ``examples/s3_for_cylinder3D_Re3900.py:101-140``).  The reference
+   publishes no wall time for this case (it runs under an 8 h SLURM cap on
+   72 cores); ``c3d_baseline_est_s`` is an EXTRAPOLATION, clearly labeled:
+   OAT's 26.93 s at 29k cells/245k pts, scaled by cell count (x5.2) and a 3D
+   per-cell factor (x2: 8 children, 26-point kNN) ≈ 280 s at n_jobs=4.
+
+Timing protocol: the 2D refinement runs twice — the first run pays program
+loads plus the tunnel's first-readback channel init (which can stall
+minutes) — and BOTH raw times are reported (`t_refine_run1/2`); the better
+one feeds the headline (the grids are identical).  The 3D workload runs
+once on the then-warm device and its raw time is reported.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": <end-to-end seconds>, "unit": "s",
-     "vs_baseline": <reference_refine_s / our_refine_s>, ...components}
+    {"metric": ..., "value": <OAT e2e seconds>, "unit": "s",
+     "vs_baseline": <26.93 / best OAT refine>, ...components..., "c3d_*"}
 """
 import json
 import tempfile
@@ -20,57 +39,129 @@ import time
 import numpy as np
 
 
-BASELINE_REFINE_S = 26.93  # tutorial2 cell-10 output: 25k cells, n_jobs=4
+BASELINE_REFINE_S = 26.93  # tutorial2 cell-10 output: 25k cells + geometry, n_jobs=4
+C3D_BASELINE_EST_S = 280.0  # EXTRAPOLATED (see module docstring) — not published
+
+
+def airfoil_polygon(n: int = 240) -> np.ndarray:
+    """NACA-0012-like closed profile on chord [0, 1] (synthetic OAT stand-in)."""
+    xc = (1 - np.cos(np.linspace(0.0, np.pi, n // 2))) / 2
+    t = 0.12
+    yt = 5 * t * (0.2969 * np.sqrt(xc) - 0.1260 * xc - 0.3516 * xc ** 2
+                  + 0.2843 * xc ** 3 - 0.1036 * xc ** 4)
+    upper = np.stack([xc, yt], axis=1)
+    lower = np.stack([xc[::-1], -yt[::-1]], axis=1)
+    return np.concatenate([upper, lower[1:-1]])
 
 
 def synthetic_oat15(n_points: int = 245_000, seed: int = 0):
     """Synthetic 2D transonic-buffet-like field: thin high-gradient shock
-    region + wake turbulence behind an 'airfoil' strip."""
+    region + wake turbulence behind the airfoil; no points inside the
+    airfoil (as in the real CFD mesh)."""
     rng = np.random.default_rng(seed)
-    xy = rng.uniform([-0.5, -0.5], [1.5, 0.5], size=(n_points, 2))
+    xy = rng.uniform([-0.5, -0.5], [1.5, 0.5], size=(int(n_points * 1.02), 2))
+    poly = airfoil_polygon()
+    # drop points inside the airfoil (vectorized even-odd crossing test)
+    x, y = xy[:, 0:1], xy[:, 1:2]
+    x1, y1 = poly[:-1, 0][None], poly[:-1, 1][None]
+    x2, y2 = poly[1:, 0][None], poly[1:, 1][None]
+    straddle = (y1 > y) != (y2 > y)
+    xcross = (x2 - x1) * (y - y1) / np.where(y2 == y1, 1.0, y2 - y1) + x1
+    inside = (np.sum(straddle & (x < xcross), axis=1) % 2) == 1
+    xy = xy[~inside][:n_points]
     x, y = xy[:, 0], xy[:, 1]
     # shock: steep std(Ma) ridge at x ~ 0.45 above the airfoil
     shock = np.exp(-((x - 0.45) ** 2) / 0.002) * np.exp(-(y - 0.05) ** 2 / 0.01)
     # wake: decaying fluctuation region downstream
     wake = (x > 0.9) * np.exp(-(x - 0.9) / 0.4) * np.exp(-y ** 2 / 0.02)
     metric = (shock + 0.6 * wake + 0.02).astype(np.float64)
-    return xy, metric
+    return xy, metric, poly
 
 
-def run_refine(xy, metric, tmp, name):
-    from sparsespatialsampling_tpu import SparseSpatialSampling, CubeGeometry
-    domain = CubeGeometry("domain", True, [-0.5, -0.5], [1.5, 0.5])
+def run_refine_oat(xy, metric, poly, tmp, name):
+    from sparsespatialsampling_tpu import (
+        SparseSpatialSampling, CubeGeometry, GeometryCoordinates2D)
+    geometries = [
+        CubeGeometry("domain", True, [-0.5, -0.5], [1.5, 0.5]),
+        GeometryCoordinates2D("airfoil", False, poly, refine=True),
+    ]
     t0 = time.perf_counter()
     s3 = SparseSpatialSampling(
-        xy, metric, [domain], save_path=tmp, save_name=name,
-        uniform_levels=6, n_cells_max=25_000)
+        xy, metric, geometries, save_path=tmp, save_name=name,
+        uniform_levels=6, n_cells_max=25_000, pre_select_cells=True)
     t_init = time.perf_counter() - t0
     s3.execute_grid_generation()
     return s3, t_init, time.perf_counter() - t0
 
 
-def main():
-    from sparsespatialsampling_tpu import (
-        ExportData, Dataloader, write_svd_s_cube_to_file)
+def synthetic_cylinder3d(n_points: int = 500_000, seed: int = 1):
+    bounds = [[0.0, 0.0, 0.0], [2.2, 0.41, 0.41]]
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(bounds[0], bounds[1], size=(int(n_points * 1.01), 3))
+    r = np.linalg.norm(xyz[:, :2] - [0.2, 0.2], axis=1)
+    xyz = xyz[r > 0.05][:n_points]
+    x, y, z = xyz.T
+    # TKE-like wake metric behind the cylinder
+    metric = ((x > 0.2) * np.exp(-np.maximum(x - 0.25, 0) / 0.8)
+              * np.exp(-((y - 0.2) ** 2) / 0.02) + 0.01).astype(np.float64)
+    return xyz, metric, bounds
 
-    xy, metric = synthetic_oat15()
+
+def run_cylinder3d(tmp):
+    from sparsespatialsampling_tpu import (
+        SparseSpatialSampling, ExportData, CubeGeometry, CylinderGeometry3D,
+        write_svd_s_cube_to_file)
+    xyz, metric, bounds = synthetic_cylinder3d()
+    geometries = [
+        CubeGeometry("domain", True, bounds[0], bounds[1]),
+        CylinderGeometry3D("cylinder", False,
+                           [[0.2, 0.2, 0.0], [0.2, 0.2, 0.41]], 0.05,
+                           refine=True, min_refinement_level=7),
+    ]
+    t0 = time.perf_counter()
+    s3 = SparseSpatialSampling(
+        xyz, metric, geometries, save_path=tmp, save_name="c3d",
+        uniform_levels=5, n_cells_max=150_000)
+    s3.execute_grid_generation()
+    t_refine = time.perf_counter() - t0
+
+    n_snap = 50
+    phases = np.linspace(0, 2 * np.pi, n_snap, endpoint=False)
+    snaps = (metric[:, None]
+             * (1 + 0.2 * np.sin(phases)[None, :])).astype(np.float32)
+    times = [f"{t:.4f}" for t in np.arange(n_snap) * 5e-4]
+
+    t1 = time.perf_counter()
+    exp = ExportData(s3, write_times=times)
+    exp.export(xyz, snaps[:, None, :], "k", n_snapshots_total=n_snap)
+    t_interp = time.perf_counter() - t1
+
+    t2 = time.perf_counter()
+    write_svd_s_cube_to_file("k", tmp, "c3d", new_file=False, rank=20,
+                             n_modes=5)
+    t_svd = time.perf_counter() - t2
+    return s3, t_refine, t_interp, t_svd
+
+
+def main():
+    from sparsespatialsampling_tpu import ExportData, write_svd_s_cube_to_file
+
+    xy, metric, poly = synthetic_oat15()
     tmp = tempfile.mkdtemp()
 
-    # Run 1 warms the device (program loads + the tunnel's first-readback
-    # channel init, which can stall minutes); run 2 measures steady state —
-    # same protocol as warming a JIT'd CPU baseline. A transient tunnel
-    # stall can hit either run, so report the better of the two (identical
-    # grids). Skip the re-run only if the first was pathologically slow.
-    s3, t_init, t_refine = run_refine(xy, metric, tmp, "bench")
-    if t_refine < 300.0:
-        s3b, t_init2, t_refine2 = run_refine(xy, metric, tmp, "bench")
+    # -- workload 1: OAT15 2D (headline, directly comparable to 26.93 s) --
+    s3, t_init, t_refine1 = run_refine_oat(xy, metric, poly, tmp, "bench")
+    t_refine2 = None
+    t_refine = t_refine1
+    if t_refine1 < 300.0:
+        s3b, t_init2, t_refine2 = run_refine_oat(xy, metric, poly, tmp, "bench")
         if t_refine2 < t_refine:
             s3, t_init, t_refine = s3b, t_init2, t_refine2
 
-    # 50 synthetic snapshots of a scalar field (shock oscillation)
     n_snap = 50
     phases = np.linspace(0, 2 * np.pi, n_snap, endpoint=False)
-    snaps = (metric[:, None] * (1 + 0.2 * np.sin(phases)[None, :])).astype(np.float32)
+    snaps = (metric[:, None]
+             * (1 + 0.2 * np.sin(phases)[None, :])).astype(np.float32)
     times = [f"{t:.4f}" for t in np.arange(n_snap) * 5e-4]
 
     t1 = time.perf_counter()
@@ -79,28 +170,55 @@ def main():
     t_interp = time.perf_counter() - t1
 
     t2 = time.perf_counter()
-    write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20, n_modes=5)
+    write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20,
+                             n_modes=5)
     t_svd = time.perf_counter() - t2
 
     t_total = t_refine + t_interp + t_svd
     n_cells = int(s3.faces.shape[0])
     captured = float(s3.data_final_mesh["metric_per_iter"][-1])
 
-    print(json.dumps({
-        "metric": "oat15_2d_synthetic e2e refine(25k cells)+interp(50 snaps)+svd wall",
+    # -- workload 2: cylinder3D north-star (warm device) ------------------
+    c3d, c3d_refine, c3d_interp, c3d_svd = run_cylinder3d(tmp)
+    c3d_total = c3d_refine + c3d_interp + c3d_svd
+
+    out = {
+        "metric": ("oat15_2d e2e refine(25k cells + airfoil geometry)"
+                   "+interp(50 snaps)+svd wall"),
         "value": round(t_total, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_REFINE_S / t_refine, 3),
+        "t_refine_run1_s": round(t_refine1, 3),
+        "t_refine_run2_s": (round(t_refine2, 3) if t_refine2 is not None
+                            else None),
         "t_refine_s": round(t_refine, 3),
         "t_init_s": round(t_init, 3),
         "t_uniform_s": round(s3.data_final_mesh["t_uniform"], 3),
         "t_adaptive_s": round(s3.data_final_mesh["t_adaptive"], 3),
+        "t_geometry_s": (round(s3.data_final_mesh["t_geometry"], 3)
+                         if s3.data_final_mesh["t_geometry"] else None),
         "t_interp_s": round(t_interp, 3),
         "t_svd_s": round(t_svd, 3),
         "n_cells": n_cells,
         "captured_metric": round(captured, 4),
         "baseline_refine_s": BASELINE_REFINE_S,
-    }))
+        # north-star workload (single run, raw)
+        "c3d_value_s": round(c3d_total, 3),
+        "c3d_refine_s": round(c3d_refine, 3),
+        "c3d_interp_s": round(c3d_interp, 3),
+        "c3d_svd_s": round(c3d_svd, 3),
+        "c3d_uniform_s": round(c3d.data_final_mesh["t_uniform"], 3),
+        "c3d_adaptive_s": round(c3d.data_final_mesh["t_adaptive"], 3),
+        "c3d_geometry_s": (round(c3d.data_final_mesh["t_geometry"], 3)
+                           if c3d.data_final_mesh["t_geometry"] else None),
+        "c3d_n_cells": int(c3d.faces.shape[0]),
+        "c3d_captured_metric": round(
+            float(c3d.data_final_mesh["metric_per_iter"][-1]), 4),
+        "c3d_cells_per_s": round(c3d.faces.shape[0] / c3d_refine, 1),
+        "c3d_baseline_est_s": C3D_BASELINE_EST_S,
+        "c3d_vs_baseline_est": round(C3D_BASELINE_EST_S / c3d_total, 2),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
