@@ -36,7 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.knn import KNNIndex, _search, _idw, _grid_cells
+from ..ops.knn import KNNIndex, _search, _idw, _grid_flat_cells
 from ..ops import morton
 
 logger = logging.getLogger(__name__)
@@ -60,9 +60,10 @@ def _bucket(n: int, minimum: int = 512) -> int:
 
 # Max cells per fused-epoch device call, per dimensionality. Each cell
 # issues 1 + 2^d k-NN queries; single programs around ~590k queries crash
-# the remote TPU worker (~295k bisected OK on a 1M-point cloud), so keep
-# the per-call query count ≤ ~80k with margin: 16384·5 in 2D, 8192·9 in 3D.
-_EPOCH_CHUNK = {2: 16384, 3: 8192}
+# the remote TPU worker (~295k bisected OK on a 1M-point cloud), and the
+# grid path's blocked-gather temporary [Q, 3^d, C, d] must stay ~2 GB on a
+# 16 GB v5e even with two chunks in flight: 16384·5 in 2D, 4096·9 in 3D.
+_EPOCH_CHUNK = {2: 16384, 3: 4096}
 
 
 class BatchedValidity:
@@ -497,17 +498,23 @@ class SamplingTree:
                                      offsets, pred, bad)
 
         def fn_grid(coords, level, lo, width, gain0, dirs, offsets, shift,
-                    points, values, cell_list, overflow, origin, inv_h, dims,
-                    max_sq_ok):
+                    cell_pts, cell_vals, cell_list, overflow, origin, inv_h,
+                    dims, max_sq_ok):
             qflat = query_centers(coords, level, lo, width, dirs, shift)
-            cand, ovf = _grid_cells(qflat, cell_list, overflow,
-                                    origin, inv_h, dims)
-            cpts = points[cand]
-            d2 = jnp.sum((qflat[:, None, :] - cpts) ** 2, axis=-1)
+            # blocked-layout candidates (contiguous per-cell slabs; the
+            # pointwise points[cand] gather dominated this kernel's wall time)
+            flat = _grid_flat_cells(qflat, cell_list.shape[0], origin,
+                                    inv_h, dims)
+            q = qflat.shape[0]
+            ovf = overflow[flat].any(axis=1)
+            cpts = cell_pts[flat]                               # [Q, 3^d, C, d]
+            delta = qflat[:, None, None, :] - cpts
+            d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
             top_s, sel = jax.lax.top_k(-d2, k)
             sq = -top_s
-            idx = jnp.take_along_axis(cand, sel, axis=1)
-            pred = jnp.einsum("qk,qk->q", _idw(sq), values[idx])
+            vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,
+                                       axis=1)
+            pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
             qbad = (sq.max(axis=1) > max_sq_ok) | ovf
             bad = qbad.reshape(-1, n_children).any(axis=1)
             return geometry_and_gain(coords, level, lo, width, gain0, dirs,
@@ -522,9 +529,9 @@ class SamplingTree:
         if knn._grid is not None:
             g = knn._grid
             jit_grid = jax.jit(fn_grid)
-            grid_args = common + (knn._points, knn._values, g["cell_list"],
-                                  g["overflow"], g["origin"], g["inv_h"],
-                                  g["dims"],
+            grid_args = common + (g["cell_pts"], g["cell_vals"],
+                                  g["cell_list"], g["overflow"], g["origin"],
+                                  g["inv_h"], g["dims"],
                                   jnp.float32((g["h"] ** 2) * (1.0 - 1e-4)))
             self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
         else:

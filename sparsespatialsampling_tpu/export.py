@@ -107,7 +107,7 @@ class ExportData:
     # public API                                                          #
     # ------------------------------------------------------------------ #
     def export(self, coordinates, data, field_name: str,
-               n_snapshots_total: int = None, chunk_size: int = 100_000) -> None:
+               n_snapshots_total: int = None, chunk_size: int = None) -> None:
         """Interpolate the provided CFD data onto the S³ grid and export to
         HDF5 (and XDMF once all snapshots of the field are written).
 
@@ -117,14 +117,15 @@ class ExportData:
         :param field_name: name of the exported field (e.g. ``'p'``)
         :param n_snapshots_total: total number of snapshots to export across
             all batches; if None, ``data`` is assumed complete
-        :param chunk_size: cells interpolated per device call (memory bound)
+        :param chunk_size: cells interpolated per device call; default (None)
+            auto-sizes to the largest chunk that fits device memory
         """
         if self._write_times is None:
             raise ValueError("Couldn't find any ``write_times`` for export. Make sure to "
                              "pass the write times when instantiating the export object or "
                              "set it before calling the ``export`` method.")
 
-        self._chunk_size = int(chunk_size)
+        self._chunk_size = None if chunk_size is None else int(chunk_size)
         self._field_name = field_name
         self._fit_data(coordinates, data, n_snapshots_total)
         self._write_data_to_hdf5()

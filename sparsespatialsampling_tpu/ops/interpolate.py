@@ -25,20 +25,34 @@ def _interp_chunk(weights, idx, data):
     return jnp.einsum("mk,mkcs->mcs", weights, gathered)
 
 
-def interpolate_data(weights, idx, data, chunk_size: int = 100_000) -> np.ndarray:
+def _auto_chunk(k: int, n_comp: int, n_snap: int,
+                budget_bytes: float = 1.5e9) -> int:
+    """Largest per-call query count whose gather temporary ``[Q, k, C, S]``
+    stays within ``budget_bytes`` (the TPU here is a 16 GB v5e)."""
+    per_query = max(k * n_comp * n_snap * 4, 1)
+    return max(1024, int(budget_bytes / per_query))
+
+
+def interpolate_data(weights, idx, data, chunk_size: int = None) -> np.ndarray:
     """Inverse-distance-weighted interpolation of field data onto query points.
 
     :param weights: ``[M, k]`` normalized per-row interpolation weights
     :param idx: ``[M, k]`` neighbor indices into the original grid
     :param data: ``[N_orig, C, S]`` original field data (C components,
         S snapshots); scalar fields use C = 1
-    :param chunk_size: number of query points interpolated per device call
+    :param chunk_size: number of query points interpolated per device call;
+        default (None) picks the largest chunk whose gather temporary fits
+        device memory — fewer round trips beat smaller footprints here
     :return: ``[M, C, S]`` interpolated data (numpy, float32)
     """
     weights = np.asarray(weights, dtype=np.float32)
     idx = np.asarray(idx, dtype=np.int32)
     data = jnp.asarray(np.asarray(data), dtype=jnp.float32)
     m = weights.shape[0]
+    if chunk_size is None:
+        chunk_size = _auto_chunk(weights.shape[1], data.shape[1],
+                                 data.shape[2])
+    chunk_size = int(chunk_size)
 
     def run(w_np, i_np):
         # pow2-pad the query axis: bounds distinct compiled shapes to

@@ -123,13 +123,9 @@ def _neighbor_offsets(d: int) -> np.ndarray:
                     axis=-1).reshape(-1, d).astype(np.int32)
 
 
-def _grid_cells(anchors, cell_list, cell_overflow, origin, inv_h, dims):
-    """Candidate member lists of each anchor's 3^d grid neighborhood.
-
-    ``cell_list [n_cells+1, C]`` int32 (last row = empty cell, all pad ids;
-    pad point coords are huge so their distances are +inf).  Returns
-    ``(cand [Q, 3^d·C], overflow [Q])``.
-    """
+def _grid_flat_cells(anchors, n_cells_total, origin, inv_h, dims):
+    """Flat ids of each anchor's 3^d grid neighborhood (out-of-range → the
+    empty sentinel cell ``n_cells_total - 1``). Returns ``flat [Q, 3^d]``."""
     d = anchors.shape[1]
     offs = jnp.asarray(_neighbor_offsets(d))
     cc = jnp.floor((anchors - origin) * inv_h).astype(jnp.int32)        # [Q, d]
@@ -138,31 +134,48 @@ def _grid_cells(anchors, cell_list, cell_overflow, origin, inv_h, dims):
     flat = nb[..., 0]
     for ax in range(1, d):
         flat = flat * dims[ax] + nb[..., ax]
-    empty = cell_list.shape[0] - 1
-    flat = jnp.where(valid, flat, empty)
+    return jnp.where(valid, flat, n_cells_total - 1)
 
+
+def _grid_cells(anchors, cell_list, cell_overflow, origin, inv_h, dims):
+    """Candidate member lists of each anchor's 3^d grid neighborhood.
+
+    ``cell_list [n_cells+1, C]`` int32 (last row = empty cell, all pad ids;
+    pad point coords are huge so their distances are +inf).  Returns
+    ``(cand [Q, 3^d·C], overflow [Q])``.
+    """
+    flat = _grid_flat_cells(anchors, cell_list.shape[0], origin, inv_h, dims)
     cand = cell_list[flat].reshape(anchors.shape[0], -1)                # [Q, 3^d·C]
     overflow = cell_overflow[flat].any(axis=1)
     return cand, overflow
 
 
-def _grid_candidates(queries, points, cell_list, cell_overflow, origin, inv_h, dims):
+def _grid_candidates(queries, cell_pts, cell_list, cell_overflow, origin,
+                     inv_h, dims):
     """Gather the 3^d-neighborhood candidates of each query from the bucket
     grid and compute exact squared distances.
 
+    The member *coordinates* are read from the blocked layout ``cell_pts
+    [n_cells+1, C, d]`` — one contiguous C·d·4-byte slab per grid cell — so
+    the gather moves cache-line-sized blocks instead of 12-byte random
+    lookups (the pointwise form was ~90 % of the kernel's wall time on TPU).
+
     Returns ``(d2 [Q, 3^d·C], cand [Q, 3^d·C], overflow [Q])``.
     """
-    cand, overflow = _grid_cells(queries, cell_list, cell_overflow,
-                                 origin, inv_h, dims)
-    cpts = points[cand]                                                 # [Q, 3^d·C, d]
-    d2 = jnp.sum((queries[:, None, :] - cpts) ** 2, axis=-1)
+    flat = _grid_flat_cells(queries, cell_list.shape[0], origin, inv_h, dims)
+    q = queries.shape[0]
+    cand = cell_list[flat].reshape(q, -1)                               # [Q, 3^d·C]
+    overflow = cell_overflow[flat].any(axis=1)
+    cpts = cell_pts[flat]                                               # [Q, 3^d, C, d]
+    delta = queries[:, None, None, :] - cpts
+    d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)                 # [Q, 3^d·C]
     return d2, cand, overflow
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _grid_query_kernel(queries, points, cell_list, cell_overflow, origin,
+def _grid_query_kernel(queries, cell_pts, cell_list, cell_overflow, origin,
                        inv_h, dims, k):
-    d2, cand, overflow = _grid_candidates(queries, points, cell_list,
+    d2, cand, overflow = _grid_candidates(queries, cell_pts, cell_list,
                                           cell_overflow, origin, inv_h, dims)
     top_s, sel = jax.lax.top_k(-d2, k)
     idx = jnp.take_along_axis(cand, sel, axis=1)
@@ -170,19 +183,24 @@ def _grid_query_kernel(queries, points, cell_list, cell_overflow, origin,
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _grid_predict_kernel(queries, points, values, cell_list, cell_overflow,
-                         origin, inv_h, dims, k):
-    d2, cand, overflow = _grid_candidates(queries, points, cell_list,
+def _grid_predict_kernel(queries, cell_pts, cell_vals, cell_list,
+                         cell_overflow, origin, inv_h, dims, k):
+    d2, cand, overflow = _grid_candidates(queries, cell_pts, cell_list,
                                           cell_overflow, origin, inv_h, dims)
     top_s, sel = jax.lax.top_k(-d2, k)
     sq = -top_s
-    idx = jnp.take_along_axis(cand, sel, axis=1)
     w = _idw(sq)
-    vals = values[idx]
-    if vals.ndim == 3:
-        pred = jnp.einsum("qk,qkc->qc", w, vals)
-    else:
+    # values gathered from the same blocked layout, then selected
+    q = queries.shape[0]
+    vals_blk = cell_vals[_grid_flat_cells(queries, cell_list.shape[0],
+                                          origin, inv_h, dims)]
+    if cell_vals.ndim == 2:
+        vals = jnp.take_along_axis(vals_blk.reshape(q, -1), sel, axis=1)
         pred = jnp.einsum("qk,qk->q", w, vals)
+    else:
+        vals = jnp.take_along_axis(
+            vals_blk.reshape(q, -1, cell_vals.shape[-1]), sel[..., None], axis=1)
+        pred = jnp.einsum("qk,qkc->qc", w, vals)
     return pred, sq.max(axis=1), overflow
 
 
@@ -232,8 +250,10 @@ class KNNIndex:
     # cell capacity: cells with more members overflow → their queries fall
     # back to the exact full scan
     GRID_CAPACITY = 64
-    # queries per grid dispatch (bounds the [Q, 3^d·C] candidate temporary)
-    GRID_CHUNK = 8192
+    # queries per grid dispatch: bounds the blocked-gather temporary
+    # [Q, 3^d, C, d] (~2.7x tiling expansion) to ~2 GB on a 16 GB v5e while
+    # keeping the number of host→device round trips per query batch small
+    GRID_CHUNK = 32768
 
     def __init__(self, points, values=None, dtype=jnp.float32,
                  tile_n: int = DEFAULT_TILE_N, tile_q: int = DEFAULT_TILE_Q):
@@ -313,6 +333,14 @@ class KNNIndex:
         overflow = np.zeros(n_cells + 1, dtype=bool)
         overflow[:n_cells] = counts > C
 
+        # blocked member coordinates [n_cells+1, C, d]: the query kernels
+        # gather one contiguous C·d·4-byte slab per neighborhood cell instead
+        # of C pointwise 12-byte lookups (the pointwise gather was ~90 % of
+        # the kernel wall time on TPU); pad slots inherit the huge pad coords
+        cell_pts = np.full((n_cells + 1, C, d), 1e30, dtype=np.float32)
+        cell_pts[flat[order][keep], pos_in_cell[keep]] = \
+            sorted_pts[order[keep]].astype(np.float32)
+
         self._grid = {
             "h": float(h),
             "origin": jnp.asarray(lo, dtype=jnp.float32),
@@ -320,7 +348,10 @@ class KNNIndex:
             "dims": jnp.asarray(dims, dtype=jnp.int32),
             "cell_list": jnp.asarray(cell_list),
             "overflow": jnp.asarray(overflow),
+            "cell_pts": jnp.asarray(cell_pts),
         }
+        # host copies for the lazy cell_vals build in set_values
+        self._grid_fill = (flat[order][keep], pos_in_cell[keep], order[keep])
 
     def _morton_codes(self, pts: np.ndarray) -> np.ndarray:
         from . import morton
@@ -337,8 +368,18 @@ class KNNIndex:
         """Attach per-point values for :meth:`predict` (shape [N] or [N, C])."""
         values = np.asarray(values, dtype=np.float32)
         assert values.shape[0] == self.n_points
-        self._values = jnp.asarray(values[self._perm])  # device copy in sorted order
+        sorted_vals = values[self._perm]
+        self._values = jnp.asarray(sorted_vals)  # device copy in sorted order
         self._values_host = values
+        if self._grid is not None:
+            # blocked member values matching cell_pts (pad slots = 0; their
+            # distances are +inf so they never rank into the top-k)
+            cells, pos, order = self._grid_fill
+            tail = () if values.ndim == 1 else (values.shape[1],)
+            cell_vals = np.zeros(self._grid["cell_list"].shape + tail,
+                                 dtype=np.float32)
+            cell_vals[cells, pos] = sorted_vals[order]
+            self._grid["cell_vals"] = jnp.asarray(cell_vals)
 
     def _run_chunked(self, kernel_args_fn, queries):
         """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows.
@@ -408,12 +449,12 @@ class KNNIndex:
             qarr[:n] = chunk
             if mode == "predict":
                 fut = _grid_predict_kernel(
-                    jnp.asarray(qarr), self._points, self._values,
+                    jnp.asarray(qarr), g["cell_pts"], g["cell_vals"],
                     g["cell_list"], g["overflow"], g["origin"], g["inv_h"],
                     g["dims"], k)
             else:
                 fut = _grid_query_kernel(
-                    jnp.asarray(qarr), self._points, g["cell_list"],
+                    jnp.asarray(qarr), g["cell_pts"], g["cell_list"],
                     g["overflow"], g["origin"], g["inv_h"], g["dims"], k)
             pending.append((lo, n, fut))
 

@@ -154,6 +154,21 @@ class TestSVDRank:
         _, s_r, _ = randomized_svd(a, rank=4)
         np.testing.assert_allclose(s_r, s_e[:4], rtol=1e-3)
 
+    def test_tall_skinny_path_matches_lapack(self):
+        """The QR-based tall-skinny path (m >= 8n and m >= 4096) must agree
+        with a float64 LAPACK SVD across 4 decades of spectrum decay."""
+        rng = np.random.default_rng(9)
+        a = (rng.standard_normal((5000, 24))
+             * np.logspace(0, -4, 24)[None, :]).astype(np.float32)
+        a = a @ rng.standard_normal((24, 24)).astype(np.float32)
+        u, s, v = economy_svd(a)
+        s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+        np.testing.assert_allclose(s, s_ref, atol=1e-5 * s_ref[0])
+        np.testing.assert_allclose(u.T @ u, np.eye(24), atol=1e-4)
+        np.testing.assert_allclose(v.T @ v, np.eye(24), atol=1e-4)
+        np.testing.assert_allclose((u * s) @ v.T, a,
+                                   atol=1e-5 * s_ref[0])
+
 
 class TestChunking:
     def test_multi_chunk_query_matches_single(self, monkeypatch):
