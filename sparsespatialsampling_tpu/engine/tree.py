@@ -36,7 +36,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.knn import KNNIndex, _search, _idw, _grid_flat_cells
+from ..ops.knn import (KNNIndex, _search, _idw, _grid_neighborhood,
+                       _sort_neighbors)
 from ..ops import morton
 
 logger = logging.getLogger(__name__)
@@ -441,7 +442,8 @@ class SamplingTree:
             all_sq = jax.lax.all_gather(sq, CELL_AXIS, axis=1, tiled=True)
             all_i = jax.lax.all_gather(gidx, CELL_AXIS, axis=1, tiled=True)
             neg, sel = jax.lax.top_k(-all_sq, k)
-            return -neg, jnp.take_along_axis(all_i, sel, axis=1)
+            return _sort_neighbors(-neg, jnp.take_along_axis(all_i, sel,
+                                                             axis=1))
 
         knn_sharded = shard_map(
             knn_merge, mesh=self._mesh,
@@ -499,12 +501,12 @@ class SamplingTree:
 
         def fn_grid(coords, level, lo, width, gain0, dirs, offsets, shift,
                     cell_pts, cell_vals, cell_list, overflow, origin, inv_h,
-                    dims, max_sq_ok):
+                    dims):
             qflat = query_centers(coords, level, lo, width, dirs, shift)
             # blocked-layout candidates (contiguous per-cell slabs; the
             # pointwise points[cand] gather dominated this kernel's wall time)
-            flat = _grid_flat_cells(qflat, cell_list.shape[0], origin,
-                                    inv_h, dims)
+            flat, margin_sq = _grid_neighborhood(qflat, cell_list.shape[0],
+                                                 origin, inv_h, dims)
             q = qflat.shape[0]
             ovf = overflow[flat].any(axis=1)
             cpts = cell_pts[flat]                               # [Q, 3^d, C, d]
@@ -512,10 +514,15 @@ class SamplingTree:
             d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
             top_s, sel = jax.lax.top_k(-d2, k)
             sq = -top_s
+            qbad = (sq.max(axis=1) > margin_sq) | ovf
+            idx = jnp.take_along_axis(cell_list[flat].reshape(q, -1), sel,
+                                      axis=1)
             vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,
                                        axis=1)
+            # canonical (sq, idx) order → bitwise-identical to the
+            # full-scan kernel for accepted rows (ops/knn._sort_neighbors)
+            sq, _, vals = _sort_neighbors(sq, idx, vals)
             pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
-            qbad = (sq.max(axis=1) > max_sq_ok) | ovf
             bad = qbad.reshape(-1, n_children).any(axis=1)
             return geometry_and_gain(coords, level, lo, width, gain0, dirs,
                                      offsets, pred, bad)
@@ -531,8 +538,7 @@ class SamplingTree:
             jit_grid = jax.jit(fn_grid)
             grid_args = common + (g["cell_pts"], g["cell_vals"],
                                   g["cell_list"], g["overflow"], g["origin"],
-                                  g["inv_h"], g["dims"],
-                                  jnp.float32((g["h"] ** 2) * (1.0 - 1e-4)))
+                                  g["inv_h"], g["dims"])
             self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
         else:
             self._epoch_fn = self._epoch_fn_full
@@ -578,8 +584,12 @@ class SamplingTree:
         for part, fut in pending:
             out = np.asarray(fut)[:part.size]
             # grid path: cells whose k-NN could not be answered exactly from
-            # the 3^d neighborhood re-run through the full-scan kernel
-            bad = out[:, 3] > 0.5
+            # the 3^d neighborhood re-run through the full-scan kernel —
+            # EXCEPT cells the geometry check already invalidated (e.g.
+            # child centers inside an obstacle, where the CFD cloud has a
+            # hole): they are removed regardless, so their gain/metric never
+            # matter and the expensive full scan is skipped
+            bad = (out[:, 3] > 0.5) & ~(out[:, 2] > 0.5)
             if bad.any():
                 retry.append(part[bad])
             good = ~bad
@@ -862,10 +872,12 @@ class SamplingTree:
                 if to_refine.size == 0:
                     break
                 children = self._split(to_refine)
-                self._update_gain(children)
 
                 # remove children invalid w.r.t. THIS geometry only (mirrors
-                # reference semantics, s_cube.py:850)
+                # reference semantics, s_cube.py:850) BEFORE the gain update:
+                # removed cells' gain is never used, and k-NN queries inside
+                # an obstacle's point-cloud hole would force exact full-scan
+                # fallbacks for nothing
                 nodes = self._nodes_of(self._coords[children], self._level[children])
                 invalid = validity_g(nodes)
                 dead = children[invalid]
@@ -873,6 +885,7 @@ class SamplingTree:
                 self._gain[dead] = 0.0
 
                 valid_children = children[~invalid]
+                self._update_gain(valid_children)
                 surface = self._find_surface_cells(valid_children, g)
                 gmin += 1
 

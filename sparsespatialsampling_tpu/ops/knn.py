@@ -98,11 +98,23 @@ def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
         nb = points[best_idx]  # [tile_q, k, d]
         delta = q[:, None, :] - nb
         sq = jnp.sum(delta * delta, axis=-1)
-        return sq, best_idx
+        return _sort_neighbors(sq, best_idx)
 
     qq = queries.reshape(-1, tile_q, queries.shape[-1])
     sq, idx = jax.lax.map(per_q_chunk, qq)
     return sq.reshape(-1, k), idx.reshape(-1, k)
+
+
+def _sort_neighbors(sq, idx, *payload):
+    """Canonical neighbor order: ascending ``(sq, idx)`` lexicographic.
+
+    Both k-NN paths (grid and full scan) select the same exact neighbor
+    *set*, but in different orders; f32 reductions over the k neighbors
+    (IDW sums) are order-sensitive at the ulp level, which would make
+    results depend on which path answered a query.  A deterministic sort
+    makes grid and full-scan outputs bitwise identical."""
+    out = jax.lax.sort((sq, idx) + payload, dimension=1, num_keys=2)
+    return out
 
 
 def _idw(sq, eps: float = 1e-12):
@@ -126,15 +138,34 @@ def _neighbor_offsets(d: int) -> np.ndarray:
 def _grid_flat_cells(anchors, n_cells_total, origin, inv_h, dims):
     """Flat ids of each anchor's 3^d grid neighborhood (out-of-range → the
     empty sentinel cell ``n_cells_total - 1``). Returns ``flat [Q, 3^d]``."""
+    flat, _ = _grid_neighborhood(anchors, n_cells_total, origin, inv_h, dims)
+    return flat
+
+
+def _grid_neighborhood(anchors, n_cells_total, origin, inv_h, dims):
+    """Flat ids of each anchor's 3^d grid neighborhood plus the squared
+    *exactness margin*: every point within ``sqrt(margin_sq)`` of the anchor
+    provably lies inside the neighborhood's spatial extent, so a top-k whose
+    worst distance stays below the margin is exact.  The margin is the
+    distance from the anchor to the nearest face of its 3^d block —
+    between ``h`` (anchor on a cell face) and ``1.5 h`` (anchor at a cell
+    center) — a strictly better acceptance test than the conservative
+    constant ``h`` and therefore fewer full-scan fallbacks near density
+    dips.  Returns ``(flat [Q, 3^d], margin_sq [Q])``."""
     d = anchors.shape[1]
     offs = jnp.asarray(_neighbor_offsets(d))
-    cc = jnp.floor((anchors - origin) * inv_h).astype(jnp.int32)        # [Q, d]
+    t = (anchors - origin) * inv_h
+    cc = jnp.floor(t).astype(jnp.int32)                                 # [Q, d]
+    frac = jnp.clip(t - cc, 0.0, 1.0)                                   # [Q, d]
+    h = 1.0 / inv_h
+    margin = (1.0 + jnp.minimum(frac, 1.0 - frac).min(axis=1)) * h      # [Q]
+    margin_sq = (margin * margin) * (1.0 - 1e-4)
     nb = cc[:, None, :] + offs[None, :, :]                              # [Q, 3^d, d]
     valid = jnp.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)  # [Q, 3^d]
     flat = nb[..., 0]
     for ax in range(1, d):
         flat = flat * dims[ax] + nb[..., ax]
-    return jnp.where(valid, flat, n_cells_total - 1)
+    return jnp.where(valid, flat, n_cells_total - 1), margin_sq
 
 
 def _grid_cells(anchors, cell_list, cell_overflow, origin, inv_h, dims):
@@ -160,40 +191,48 @@ def _grid_candidates(queries, cell_pts, cell_list, cell_overflow, origin,
     the gather moves cache-line-sized blocks instead of 12-byte random
     lookups (the pointwise form was ~90 % of the kernel's wall time on TPU).
 
-    Returns ``(d2 [Q, 3^d·C], cand [Q, 3^d·C], overflow [Q])``.
+    Returns ``(d2 [Q, 3^d·C], cand [Q, 3^d·C], ok [Q] margin/overflow
+    pre-verdict, flat [Q, 3^d])``; ``ok`` must still be combined with the
+    realized top-k distances (exact iff ``d_k² ≤ margin²``).
     """
-    flat = _grid_flat_cells(queries, cell_list.shape[0], origin, inv_h, dims)
+    flat, margin_sq = _grid_neighborhood(queries, cell_list.shape[0],
+                                         origin, inv_h, dims)
     q = queries.shape[0]
     cand = cell_list[flat].reshape(q, -1)                               # [Q, 3^d·C]
     overflow = cell_overflow[flat].any(axis=1)
     cpts = cell_pts[flat]                                               # [Q, 3^d, C, d]
     delta = queries[:, None, None, :] - cpts
     d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)                 # [Q, 3^d·C]
-    return d2, cand, overflow
+    return d2, cand, margin_sq, overflow, flat
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _grid_query_kernel(queries, cell_pts, cell_list, cell_overflow, origin,
                        inv_h, dims, k):
-    d2, cand, overflow = _grid_candidates(queries, cell_pts, cell_list,
-                                          cell_overflow, origin, inv_h, dims)
+    d2, cand, margin_sq, overflow, _ = _grid_candidates(
+        queries, cell_pts, cell_list, cell_overflow, origin, inv_h, dims)
     top_s, sel = jax.lax.top_k(-d2, k)
+    sq = -top_s
     idx = jnp.take_along_axis(cand, sel, axis=1)
-    return -top_s, idx, overflow
+    ok = (sq.max(axis=1) <= margin_sq) & ~overflow
+    sq, idx = _sort_neighbors(sq, idx)
+    return sq, idx, ok
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _grid_predict_kernel(queries, cell_pts, cell_vals, cell_list,
                          cell_overflow, origin, inv_h, dims, k):
-    d2, cand, overflow = _grid_candidates(queries, cell_pts, cell_list,
-                                          cell_overflow, origin, inv_h, dims)
+    d2, cand, margin_sq, overflow, flat = _grid_candidates(
+        queries, cell_pts, cell_list, cell_overflow, origin, inv_h, dims)
     top_s, sel = jax.lax.top_k(-d2, k)
     sq = -top_s
+    idx = jnp.take_along_axis(cand, sel, axis=1)
+    ok = (sq.max(axis=1) <= margin_sq) & ~overflow
+    sq, idx, sel = _sort_neighbors(sq, idx, sel)
     w = _idw(sq)
     # values gathered from the same blocked layout, then selected
     q = queries.shape[0]
-    vals_blk = cell_vals[_grid_flat_cells(queries, cell_list.shape[0],
-                                          origin, inv_h, dims)]
+    vals_blk = cell_vals[flat]
     if cell_vals.ndim == 2:
         vals = jnp.take_along_axis(vals_blk.reshape(q, -1), sel, axis=1)
         pred = jnp.einsum("qk,qk->q", w, vals)
@@ -201,7 +240,7 @@ def _grid_predict_kernel(queries, cell_pts, cell_vals, cell_list,
         vals = jnp.take_along_axis(
             vals_blk.reshape(q, -1, cell_vals.shape[-1]), sel[..., None], axis=1)
         pred = jnp.einsum("qk,qkc->qc", w, vals)
-    return pred, sq.max(axis=1), overflow
+    return pred, ok
 
 
 @partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
@@ -433,9 +472,10 @@ class KNNIndex:
         """Grid fast path with per-query exactness verification.
 
         A query's result is accepted only if its worst selected neighbor lies
-        within one cell size (then the 3^d neighborhood provably contains the
-        exact k-NN) and none of its neighborhood cells overflowed; all other
-        queries are re-run through the exact full scan.
+        within the query's neighborhood margin (then the 3^d block provably
+        contains the exact k-NN — ``_grid_neighborhood``) and none of its
+        neighborhood cells overflowed; all other queries are re-run through
+        the exact full scan.
         """
         g = self._grid
         q_total = queries.shape[0]
@@ -458,8 +498,6 @@ class KNNIndex:
                     g["overflow"], g["origin"], g["inv_h"], g["dims"], k)
             pending.append((lo, n, fut))
 
-        # conservative acceptance: d_k strictly inside one cell size
-        max_sq_ok = (g["h"] ** 2) * (1.0 - 1e-4)
         if mode == "predict":
             out = np.empty((q_total,) + (() if self._values_host.ndim == 1
                                          else (self._values_host.shape[1],)),
@@ -470,16 +508,13 @@ class KNNIndex:
         bad_rows = []
         for lo, n, fut in pending:
             if mode == "predict":
-                pred, sqmax, ovf = fut
-                pred = np.asarray(pred)[:n]
-                ok = (np.asarray(sqmax)[:n] <= max_sq_ok) & ~np.asarray(ovf)[:n]
-                out[lo:lo + n] = pred
+                pred, ok = fut
+                out[lo:lo + n] = np.asarray(pred)[:n]
             else:
-                sq, idx, ovf = fut
-                sq = np.asarray(sq)[:n]
-                ok = (sq.max(axis=1) <= max_sq_ok) & ~np.asarray(ovf)[:n]
-                out_sq[lo:lo + n] = sq
+                sq, idx, ok = fut
+                out_sq[lo:lo + n] = np.asarray(sq)[:n]
                 out_idx[lo:lo + n] = np.asarray(idx)[:n]
+            ok = np.asarray(ok)[:n]
             bad_rows.append(lo + np.nonzero(~ok)[0])
 
         bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, dtype=int)

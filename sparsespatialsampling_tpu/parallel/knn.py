@@ -15,7 +15,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .mesh import CELL_AXIS, pad_to_multiple
-from ..ops.knn import MAX_QUERY_CHUNK, _bucket_pow2
+from ..ops.knn import MAX_QUERY_CHUNK, _bucket_pow2, _sort_neighbors
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -75,7 +75,8 @@ class ShardedKNNIndex:
             all_i = jax.lax.all_gather(top_i, CELL_AXIS, axis=1, tiled=True)
             best_s, sel = jax.lax.top_k(all_s, k)
             best_i = jnp.take_along_axis(all_i, sel, axis=1)
-            return best_s, best_i
+            # canonical ascending (score, idx) order (ops/knn._sort_neighbors)
+            return _sort_neighbors(-best_s, best_i)
 
         fn = shard_map(
             kernel, mesh=self.mesh,
