@@ -151,12 +151,14 @@ def main():
 
     # -- workload 1: OAT15 2D (headline, directly comparable to 26.93 s) --
     s3, t_init, t_refine1 = run_refine_oat(xy, metric, poly, tmp, "bench")
-    t_refine2 = None
+    # ALWAYS run twice: the first run pays program loads and the tunnel's
+    # first-readback channel-init stall (which can exceed 300 s on its own),
+    # so skipping the retry after a slow first run would record exactly the
+    # stall-poisoned number
+    s3b, t_init2, t_refine2 = run_refine_oat(xy, metric, poly, tmp, "bench")
     t_refine = t_refine1
-    if t_refine1 < 300.0:
-        s3b, t_init2, t_refine2 = run_refine_oat(xy, metric, poly, tmp, "bench")
-        if t_refine2 < t_refine:
-            s3, t_init, t_refine = s3b, t_init2, t_refine2
+    if t_refine2 < t_refine:
+        s3, t_init, t_refine = s3b, t_init2, t_refine2
 
     n_snap = 50
     phases = np.linspace(0, 2 * np.pi, n_snap, endpoint=False)

@@ -467,6 +467,7 @@ class SamplingTree:
         self._epoch_fn = lambda c, l: jit_fn(c, l, *args)
         # exact full scan already — no grid fast path, so no retry variant
         self._epoch_fn_full = self._epoch_fn
+        self._epoch_fn_full_small = self._epoch_fn
 
     def _build_epoch_fn(self):
         """Build the fused epoch kernel(s): metric prediction at own + child
@@ -527,11 +528,27 @@ class SamplingTree:
             return geometry_and_gain(coords, level, lo, width, gain0, dirs,
                                      offsets, pred, bad)
 
+        def fn_full_small(coords, level, lo, width, gain0, dirs, offsets,
+                          shift, points, points_sq, values):
+            qflat = query_centers(coords, level, lo, width, dirs, shift)
+            sq, idx = _search(qflat, points, points_sq, k, tile_n, 128)
+            pred = jnp.einsum("qk,qk->q", _idw(sq), values[idx])
+            bad = jnp.zeros(coords.shape[0], dtype=jnp.bool_)
+            return geometry_and_gain(coords, level, lo, width, gain0, dirs,
+                                     offsets, pred, bad)
+
         common = self._epoch_common_args()
 
         jit_full = jax.jit(fn_full)
         full_args = common + (knn._points, knn._points_sq, knn._values)
         self._epoch_fn_full = lambda c, l: jit_full(c, l, *full_args)
+        # small-tile variant for exact-fallback retries: a typical adaptive
+        # iteration retries only a handful of cells near point-cloud holes,
+        # and padding them to the 1024-cell bucket made every retry cost a
+        # ~9k-query full scan (~0.8 s/iter at 500k points). tile_q=128 pads
+        # retries to 128 cells instead.
+        jit_full_small = jax.jit(fn_full_small)
+        self._epoch_fn_full_small = lambda c, l: jit_full_small(c, l, *full_args)
 
         if knn._grid is not None:
             g = knn._grid
@@ -566,10 +583,11 @@ class SamplingTree:
         # readback pipeline through JAX async dispatch, then read back
         chunk_size = _EPOCH_CHUNK[d]
 
-        def dispatch(part, fn):
+        def dispatch(part, fn, minimum=1024):
             m = part.size
-            # M*(1+2^d) must stay a multiple of the k-NN query tile: pow2 ≥ 1024
-            mp = _bucket(m, minimum=1024)
+            # M*(1+2^d) must stay a multiple of the k-NN query tile (the
+            # tile is 1024 for the main kernels, 128 for the retry variant)
+            mp = _bucket(m, minimum=minimum)
             coords = np.zeros((mp, d), dtype=np.float32)
             coords[:m] = self._coords[part]
             level = np.zeros(mp, dtype=np.float32)
@@ -599,7 +617,12 @@ class SamplingTree:
             retry_idx = np.concatenate(retry)
             for lo in range(0, retry_idx.size, chunk_size):
                 part = retry_idx[lo:lo + chunk_size]
-                out = np.asarray(dispatch(part, self._epoch_fn_full))[:part.size]
+                if part.size <= 512:
+                    fut = dispatch(part, self._epoch_fn_full_small,
+                                   minimum=128)
+                else:
+                    fut = dispatch(part, self._epoch_fn_full)
+                out = np.asarray(fut)[:part.size]
                 self._apply_epoch_out(part, out)
 
     def _apply_epoch_out(self, part: np.ndarray, out: np.ndarray) -> None:
