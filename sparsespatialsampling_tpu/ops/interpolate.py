@@ -73,3 +73,31 @@ def interpolate_data(weights, idx, data, chunk_size: int = None) -> np.ndarray:
         hi = min(lo + chunk_size, m)
         out[lo:hi] = run(weights[lo:hi], idx[lo:hi])
     return out
+
+
+def interpolate_device(w_dev, idx_dev, data, n, chunk_size: int = None):
+    """Interpolation with device-resident weights (``KNNIndex.weights_device``
+    output): no weight readback/re-upload round trip — only the original
+    snapshots go up and the interpolated result comes back.
+
+    :param w_dev: ``[Q_pad, k]`` jnp.float32 normalized weights
+    :param idx_dev: ``[Q_pad, k]`` jnp.int32 indices into ``data``'s rows
+    :param data: host ``[N_orig, C, S]`` snapshot matrix
+    :param n: number of real query rows (rows ``n:`` are padding)
+    :return: ``[n, C, S]`` numpy float32
+    """
+    data = jnp.asarray(np.asarray(data), dtype=jnp.float32)
+    q_pad = w_dev.shape[0]
+    if chunk_size is None:
+        chunk_size = _auto_chunk(w_dev.shape[1], data.shape[1], data.shape[2])
+    chunk_size = max(256, 1 << int(int(chunk_size) - 1).bit_length() >> 1)
+    if q_pad <= chunk_size:
+        return np.asarray(_interp_chunk(w_dev, idx_dev, data))[:n]
+    outs = [_interp_chunk(w_dev[lo:lo + chunk_size],
+                          idx_dev[lo:lo + chunk_size], data)
+            for lo in range(0, q_pad, chunk_size)]
+    out = np.empty((q_pad,) + data.shape[1:], dtype=np.float32)
+    for i, o in enumerate(outs):
+        lo = i * chunk_size
+        out[lo:lo + o.shape[0]] = np.asarray(o)
+    return out[:n]

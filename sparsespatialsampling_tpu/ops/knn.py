@@ -266,6 +266,22 @@ def _predict_padded(queries, points, points_sq, values, k, tile_n, tile_q):
     return jnp.einsum("qk,qk->q", w, vals)
 
 
+@jax.jit
+def _scatter_rows(arr, rows, values):
+    """Overwrite ``arr[rows]`` with ``values`` (duplicate rows are benign —
+    they carry identical values)."""
+    return arr.at[rows].set(values)
+
+
+@jax.jit
+def _finish_weights(sq, idx, perm_pad):
+    """Normalized IDW weights + index map back to original point order."""
+    dists = jnp.sqrt(jnp.maximum(sq, 0.0))
+    w = 1.0 / jnp.clip(dists, min=1e-12)
+    w = w / w.sum(axis=1, keepdims=True)
+    return w, perm_pad[idx]
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -556,6 +572,79 @@ class KNNIndex:
         w = 1.0 / np.clip(dists, 1e-12, None)
         w /= w.sum(axis=1, keepdims=True)
         return w.astype(np.float32), idx
+
+    def weights_device(self, queries, k: int):
+        """Device-resident variant of :meth:`weights` for pipelines that feed
+        the weights straight into another device kernel (the export
+        interpolation): only the per-query exactness bitmaps are read back
+        (~1 bit/query) instead of the full ``[Q, k]`` weight/index arrays —
+        through the tunnel (~35 MB/s readback) that is the difference
+        between ~0.1 s and ~1 s per 150k queries.
+
+        :return: ``(w [Q_pad, k] jnp.float32 row-normalized, idx [Q_pad, k]
+            jnp.int32 in ORIGINAL point indexing, n)`` — rows ``n:`` are
+            padding
+        """
+        assert k <= self.n_points
+        queries = np.asarray(queries, dtype=np.float64) - self._shift
+        n = queries.shape[0]
+        use_grid = (self._grid is not None and n > 0
+                    and k <= (3 ** self.n_dim) * self.GRID_CAPACITY)
+        if not use_grid:
+            sq, idx = self._full_scan(queries, k, "query")
+            dists = np.sqrt(np.maximum(sq, 0.0))
+            w = 1.0 / np.clip(dists, 1e-12, None)
+            w /= w.sum(axis=1, keepdims=True)
+            return (jnp.asarray(w.astype(np.float32)),
+                    jnp.asarray(self._perm_pad[idx].astype(np.int32)), n)
+
+        g = self._grid
+        chunk = self.GRID_CHUNK
+        n_pad = (_bucket_pow2(n, 256) if n <= chunk
+                 else -(-n // chunk) * chunk)
+        qf32 = np.zeros((n_pad, self.n_dim), dtype=np.float32)
+        qf32[:n] = queries
+        parts = []
+        for lo in range(0, n_pad, chunk):
+            qarr = jnp.asarray(qf32[lo:lo + chunk])
+            parts.append(_grid_query_kernel(
+                qarr, g["cell_pts"], g["cell_list"], g["overflow"],
+                g["origin"], g["inv_h"], g["dims"], k))
+
+        # tiny readback: only the ok bitmaps decide the exact-fallback rows
+        bad_rows = []
+        for i, (_, _, ok) in enumerate(parts):
+            okh = np.asarray(ok)
+            hi = min((i + 1) * chunk, n)
+            rows = i * chunk + np.nonzero(~okh[:max(hi - i * chunk, 0)])[0]
+            bad_rows.append(rows)
+        bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, int)
+
+        sq_dev = (jnp.concatenate([p[0] for p in parts])
+                  if len(parts) > 1 else parts[0][0])
+        idx_dev = (jnp.concatenate([p[1] for p in parts])
+                   if len(parts) > 1 else parts[0][1])
+        if bad.size:
+            sq_fix, idx_fix = self._full_scan(queries[bad], k, "query")
+            # pow2-pad the scatter rows by repeating the first bad row —
+            # writing the same row twice is idempotent, and bounds the
+            # number of compiled scatter shapes
+            p = _bucket_pow2(bad.size, 8)
+            rows = np.full(p, bad[0], dtype=np.int32)
+            rows[:bad.size] = bad
+            sq_p = np.repeat(sq_fix[:1], p, axis=0)
+            sq_p[:bad.size] = sq_fix
+            idx_p = np.repeat(idx_fix[:1], p, axis=0)
+            idx_p[:bad.size] = idx_fix
+            sq_dev = _scatter_rows(sq_dev, jnp.asarray(rows),
+                                   jnp.asarray(sq_p.astype(np.float32)))
+            idx_dev = _scatter_rows(idx_dev, jnp.asarray(rows),
+                                    jnp.asarray(idx_p.astype(np.int32)))
+
+        if not hasattr(self, "_perm_pad_dev"):
+            self._perm_pad_dev = jnp.asarray(self._perm_pad.astype(np.int32))
+        w_dev, idx_orig = _finish_weights(sq_dev, idx_dev, self._perm_pad_dev)
+        return w_dev, idx_orig, n
 
     def predict(self, queries, k: int):
         """Inverse-distance-weighted regression at the query points.
