@@ -39,32 +39,22 @@ def _svd_device(a):
     return jnp.linalg.svd(a, full_matrices=False)
 
 
-@jax.jit
-def _ts_qr(a):
-    return jnp.linalg.qr(a)
-
-
-@jax.jit
-def _ts_modes(q, m):
-    return jnp.dot(q, m, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
-
-
 def _tall_skinny_svd(a: np.ndarray) -> tuple:
-    """Exact thin SVD of a tall-skinny matrix: device QR (fast on TPU —
-    unlike ``jnp.linalg.svd``, which took ~4 s for [150k, 50]) followed by a
-    host float64 SVD of the tiny ``[n, n]`` R factor and one MXU matmul for
-    the modes.  Measured accuracy matches the direct SVD (orthonormality
-    ~1e-6, singular values ~1e-8·σ₁ relative)."""
-    m, n = a.shape
-    m_pad = max(256, 1 << int(m - 1).bit_length())
-    if m_pad != m:  # appended zero rows change neither s, V, nor U[:m]
-        a = np.concatenate([a, np.zeros((m_pad - m, n), dtype=a.dtype)])
-    q, r = _ts_qr(jnp.asarray(a))
-    ub, s, vt = np.linalg.svd(np.asarray(r).astype(np.float64),
-                              full_matrices=False)
-    u = np.asarray(_ts_modes(q, jnp.asarray(ub, dtype=jnp.float32)))
-    return u[:m], s.astype(np.float32), vt.astype(np.float32).T
+    """Exact thin SVD of a tall-skinny matrix via host float64 LAPACK QR +
+    SVD of the tiny R factor.
+
+    Deliberately NOT a device path: the heavy op is O(m·n²) with tiny n —
+    ~0.8 GFLOP for the [150k, 50] S³ snapshot shape, ~0.5 s in LAPACK —
+    while every device alternative measured far worse end-to-end on this
+    TPU (``jnp.linalg.svd`` ~4 s; ``jnp.linalg.qr`` ~100 s — it lowers to
+    a long sequence of tiny kernels; Gram/CholeskyQR2 squares the condition
+    number and loses singular values below ~√eps·σ₁), and the result must
+    cross the ~35 MB/s tunnel readback regardless.  Float64 throughout —
+    full LAPACK accuracy, better than any f32 device decomposition."""
+    q, r = np.linalg.qr(a.astype(np.float64))
+    ub, s, vt = np.linalg.svd(r, full_matrices=False)
+    u = (q @ ub).astype(np.float32)
+    return u, s.astype(np.float32), vt.astype(np.float32).T
 
 
 def economy_svd(a) -> tuple:
@@ -72,13 +62,13 @@ def economy_svd(a) -> tuple:
     with V the right singular vectors as columns (``V[:, i]``).
 
     Tall-skinny matrices (the S³ snapshot shape: many cells, few snapshots)
-    route through the Gram-whitening path; squarish ones use the XLA SVD.
-    The row axis is zero-padded to a power of two before the device call —
+    route through the host QR path (see :func:`_tall_skinny_svd`); squarish
+    ones use the XLA SVD with the row axis zero-padded to a power of two —
     appended zero rows change neither the singular values nor V, and bound
     the number of distinct compiled shapes across runs."""
     a = np.asarray(a, dtype=np.float32)
     m, n = a.shape
-    if m >= 8 * n and m >= 4096 and n <= 1024:
+    if m >= 8 * n and m >= 4096 and m * n * n <= 1e11:
         return _tall_skinny_svd(a)
     if m > n:
         m_pad = max(256, 1 << int(m - 1).bit_length())
