@@ -40,21 +40,30 @@ def _svd_device(a):
 
 
 def _tall_skinny_svd(a: np.ndarray) -> tuple:
-    """Exact thin SVD of a tall-skinny matrix via host float64 LAPACK QR +
-    SVD of the tiny R factor.
+    """Exact thin SVD of a tall-skinny matrix via the float64 snapshot
+    method (Gram matrix + eigendecomposition) on the host.
 
-    Deliberately NOT a device path: the heavy op is O(m·n²) with tiny n —
-    ~0.8 GFLOP for the [150k, 50] S³ snapshot shape, ~0.5 s in LAPACK —
+    Deliberately NOT a device path: the heavy work is two O(m·n²) dgemms
+    with tiny n (~1.5 GFLOP for the [150k, 50] S³ snapshot shape, ~0.3 s),
     while every device alternative measured far worse end-to-end on this
     TPU (``jnp.linalg.svd`` ~4 s; ``jnp.linalg.qr`` ~100 s — it lowers to
-    a long sequence of tiny kernels; Gram/CholeskyQR2 squares the condition
-    number and loses singular values below ~√eps·σ₁), and the result must
-    cross the ~35 MB/s tunnel readback regardless.  Float64 throughout —
-    full LAPACK accuracy, better than any f32 device decomposition."""
-    q, r = np.linalg.qr(a.astype(np.float64))
-    ub, s, vt = np.linalg.svd(r, full_matrices=False)
-    u = (q @ ub).astype(np.float32)
-    return u, s.astype(np.float32), vt.astype(np.float32).T
+    a long sequence of tiny kernels), and the result must cross the
+    ~35 MB/s tunnel readback regardless.  Host LAPACK QR would avoid the
+    Gram squaring but runs at BLAS-2 speed here (~5 s); in float64 the
+    squaring is harmless — singular values resolve down to ~√(eps·√m)·σ₁ ≈
+    3e-7·σ₁, far below the f32 input data's own precision."""
+    af = a.astype(np.float64)
+    gram = af.T @ af
+    lam, v = np.linalg.eigh(gram)
+    lam, v = lam[::-1], v[:, ::-1]            # descending
+    s = np.sqrt(np.maximum(lam, 0.0))
+    floor = np.finfo(np.float64).eps ** 0.5 * max(s[0], 1e-300)
+    inv = np.where(s > floor, 1.0 / np.maximum(s, floor), 0.0)
+    # the mode matmul runs in f32 (this host's BLAS is memory-bound on the
+    # tall output; sgemm halves the traffic and skips the f64→f32 cast) —
+    # s and V keep full f64 accuracy from the Gram path above
+    u = a @ (v * inv[None, :]).astype(np.float32)
+    return u, s.astype(np.float32), v.astype(np.float32)
 
 
 def economy_svd(a) -> tuple:
