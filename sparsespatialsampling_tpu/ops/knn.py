@@ -302,8 +302,12 @@ class KNNIndex:
     GRID_MIN_POINTS = 32768
     # target mean points per grid cell (sets the cell size h)
     GRID_OCCUPANCY = 16
-    # cell capacity: cells with more members overflow → their queries fall
-    # back to the exact full scan
+    # upper bound on the per-cell member capacity; the realized capacity is
+    # adaptive (pow2 covering the 99.9th-percentile occupancy) because BOTH
+    # hot stages of the query kernels scale with the 3^d·C candidate width
+    # (lax.top_k alone was ~50 ms per 32k queries at C=64). Cells beyond the
+    # realized capacity overflow → their queries fall back to the exact
+    # full scan, so a tight capacity costs only fallback frequency
     GRID_CAPACITY = 64
     # queries per grid dispatch: bounds the blocked-gather temporary
     # [Q, 3^d, C, d] (~2.7x tiling expansion) to ~2 GB on a 16 GB v5e while
@@ -381,7 +385,12 @@ class KNNIndex:
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         pos_in_cell = np.arange(self.n_points) - starts[flat[order]]
 
-        C = self.GRID_CAPACITY
+        # adaptive capacity: pow2 covering the 99.9th-percentile occupancy
+        # (uniform clouds land at ~2x occupancy; graded CFD meshes grow it)
+        occupied = counts[counts > 0]
+        c999 = int(np.percentile(occupied, 99.9)) if occupied.size else 1
+        C = 1 << int(max(c999, 2, self.GRID_OCCUPANCY) - 1).bit_length()
+        C = int(min(self.GRID_CAPACITY, max(16, C)))
         cell_list = np.full((n_cells + 1, C), self._pad_idx, dtype=np.int32)
         keep = pos_in_cell < C
         cell_list[flat[order][keep], pos_in_cell[keep]] = order[keep].astype(np.int32)
@@ -398,6 +407,7 @@ class KNNIndex:
 
         self._grid = {
             "h": float(h),
+            "C": C,
             "origin": jnp.asarray(lo, dtype=jnp.float32),
             "inv_h": jnp.float32(1.0 / h),
             "dims": jnp.asarray(dims, dtype=jnp.int32),
@@ -552,7 +562,7 @@ class KNNIndex:
         """
         queries = np.asarray(queries, dtype=np.float64) - self._shift
         if (self._grid is None or queries.shape[0] == 0
-                or k > (3 ** self.n_dim) * self.GRID_CAPACITY):
+                or k > (3 ** self.n_dim) * self._grid["C"]):
             return self._full_scan(queries, k, mode)
         return self._grid_run(queries, k, mode)
 
@@ -589,7 +599,7 @@ class KNNIndex:
         queries = np.asarray(queries, dtype=np.float64) - self._shift
         n = queries.shape[0]
         use_grid = (self._grid is not None and n > 0
-                    and k <= (3 ** self.n_dim) * self.GRID_CAPACITY)
+                    and k <= (3 ** self.n_dim) * self._grid["C"])
         if not use_grid:
             sq, idx = self._full_scan(queries, k, "query")
             dists = np.sqrt(np.maximum(sq, 0.0))
