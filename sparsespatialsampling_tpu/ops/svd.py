@@ -34,6 +34,46 @@ def optimal_rank(s: np.ndarray, shape) -> int:
     return max(int((s > tau).sum()), 1)
 
 
+def frobenius_sq(a: np.ndarray, chunk: int = 65536) -> float:
+    """``‖a‖_F²`` accumulated in float64 (row-chunked; no full f64 copy).
+
+    The sketched-rank criterion subtracts the sketch energy from this —
+    the tail can be orders of magnitude smaller than the total, so f32
+    accumulation error would swamp it."""
+    total = 0.0
+    for lo in range(0, a.shape[0], chunk):
+        blk = a[lo:lo + chunk].astype(np.float64, copy=False)
+        total += float(np.square(blk).sum())
+    return total
+
+
+def optimal_rank_sketched(s: np.ndarray, shape, fro_norm_sq: float) -> int:
+    """Gavish-Donoho rank from a TRUNCATED spectrum (randomized-SVD sketch).
+
+    The criterion needs the median of the *full* spectrum, but a sketch only
+    carries the top ``l`` values — their median overestimates the noise
+    floor and biases the rank low.  The unseen tail is reconstructed from
+    energy conservation: ``Σ_tail s² = ‖A‖_F² − Σ_sketch s²``, modeled as a
+    flat noise floor ``s_tail = sqrt(tail_energy / (n_total − l))``.  When
+    the true median falls inside the tail, that floor IS the median
+    estimate; otherwise the sketch median is used directly.
+    """
+    m, n = max(shape), min(shape)
+    l = s.shape[0]
+    if l >= n:  # sketch covers the whole spectrum — exact criterion
+        return optimal_rank(s, shape)
+    beta = n / m
+    omega = 0.56 * beta ** 3 - 0.95 * beta ** 2 + 1.82 * beta + 1.43
+    tail_energy = max(float(fro_norm_sq) - float(np.square(s).sum()), 0.0)
+    tail_rms = np.sqrt(tail_energy / max(n - l, 1))
+    if l > n // 2:
+        median = float(np.sort(s)[l - 1 - n // 2])  # (n//2)-th largest
+    else:
+        median = float(tail_rms)
+    tau = omega * median
+    return max(int((s > tau).sum()), 1)
+
+
 @jax.jit
 def _svd_device(a):
     return jnp.linalg.svd(a, full_matrices=False)

@@ -14,7 +14,8 @@ import numpy as np
 
 from .io.data import Dataloader, Datawriter
 from .io.const import CONST
-from .ops.svd import economy_svd, randomized_svd, optimal_rank
+from .ops.svd import (economy_svd, randomized_svd, optimal_rank,
+                      optimal_rank_sketched)
 from .ops.dmd import exact_dmd
 
 logger = logging.getLogger(__name__)
@@ -79,16 +80,18 @@ def compute_svd(data_matrix, cell_area, rank: int = None) -> Tuple[np.ndarray, n
         else:
             u, s, v = randomized_svd(stacked, sketch)
         if rank is None:
-            # the Gavish-Donoho criterion normally uses the median of the FULL
-            # spectrum; on the truncated sketch the median over the top
-            # ``sketch`` values overestimates the noise floor, so the auto-rank
-            # here is approximate and errs toward fewer modes
-            logger.warning(
+            # Gavish-Donoho needs the FULL spectrum's median; the sketch only
+            # carries the top values, so the unseen tail's noise floor is
+            # reconstructed from the Frobenius-energy balance (exact Σs² is
+            # known from the data matrix itself)
+            logger.info(
                 f"Automatic rank selection on the randomized-SVD path (> "
-                f"{_RSVD_ROW_THRESHOLD} rows) thresholds the truncated sketch "
-                f"spectrum and is approximate/conservative; pass an explicit "
-                f"'rank' for exact control.")
-            rank = optimal_rank(s, stacked.shape)
+                f"{_RSVD_ROW_THRESHOLD} rows) uses a Frobenius-tail estimate "
+                f"of the unseen spectrum; pass an explicit 'rank' for exact "
+                f"control.")
+            from .ops.svd import frobenius_sq
+            fro_sq = frobenius_sq(stacked)
+            rank = optimal_rank_sketched(s, stacked.shape, fro_sq)
             u, s, v = u[:, :rank], s[:rank], v[:, :rank]
     else:
         u, s, v = economy_svd(stacked)

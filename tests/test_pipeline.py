@@ -433,6 +433,24 @@ class TestLargeSVD:
             norm = np.linalg.norm(U_rand[:, i]) * np.linalg.norm(U_exact[:, i])
             assert dot / norm > 0.99
 
+    def test_sketched_auto_rank_matches_full_criterion(self):
+        """The Frobenius-tail estimate must reproduce the exact Gavish-Donoho
+        rank when the sketch truncates most of a noisy spectrum."""
+        from sparsespatialsampling_tpu.ops.svd import (
+            optimal_rank, optimal_rank_sketched, frobenius_sq)
+        rng = np.random.default_rng(21)
+        u0 = rng.normal(size=(20000, 6)); v0 = rng.normal(size=(6, 200))
+        a = ((u0 * [300, 150, 80, 40, 20, 10]) @ v0).astype(np.float32)
+        a += 0.5 * rng.normal(size=a.shape).astype(np.float32)
+        s_full = np.linalg.svd(a, compute_uv=False)
+        r_exact = optimal_rank(s_full, a.shape)
+        # truncate the spectrum like a small sketch would
+        fro = frobenius_sq(a)
+        for l in (10, 20, 50):
+            assert optimal_rank_sketched(s_full[:l], a.shape, fro) == r_exact
+        # the old naive criterion (median of the top-l values) gets it wrong
+        assert optimal_rank(s_full[:10], a.shape) != r_exact
+
 
 class TestMisc:
     def test_list_geometries_logs_all_classes(self, caplog):
