@@ -22,11 +22,11 @@ Two workloads:
    OAT's 26.93 s at 29k cells/245k pts, scaled by cell count (x5.2) and a 3D
    per-cell factor (x2: 8 children, 26-point kNN) ≈ 280 s at n_jobs=4.
 
-Timing protocol: the 2D refinement runs twice — the first run pays program
-loads plus the tunnel's first-readback channel init (which can stall
-minutes) — and BOTH raw times are reported (`t_refine_run1/2`); the better
-one feeds the headline (the grids are identical).  The 3D workload runs
-once on the then-warm device and its raw time is reported.
+Timing protocol: the 2D refinement ALWAYS runs twice — the first run pays
+program loads plus the tunnel's first-readback channel init (which can
+stall minutes) — and BOTH raw times are reported (`t_refine_run1/2`); the
+better one feeds the headline (the grids are identical).  The 3D workload
+runs once on the then-warm device and its raw time is reported.
 
 Prints ONE JSON line:
     {"metric": ..., "value": <OAT e2e seconds>, "unit": "s",
