@@ -580,8 +580,13 @@ class SamplingTree:
         d = self._n_dimensions
         # cap the per-call cell count (oversized single programs can crash
         # the TPU worker); dispatch all chunks first so upload/compute/
-        # readback pipeline through JAX async dispatch, then read back
+        # readback pipeline through JAX async dispatch, then read back.
+        # The 3D cap is memory-driven (blocked-gather temp) — doubled when
+        # the realized grid capacity is <= 32 (half the bytes per query)
         chunk_size = _EPOCH_CHUNK[d]
+        g = getattr(self._knn, "_grid", None)
+        if d == 3 and g is not None and g.get("C", 64) <= 32:
+            chunk_size *= 2
 
         def dispatch(part, fn, minimum=1024):
             m = part.size

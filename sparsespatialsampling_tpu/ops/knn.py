@@ -311,8 +311,15 @@ class KNNIndex:
     GRID_CAPACITY = 64
     # queries per grid dispatch: bounds the blocked-gather temporary
     # [Q, 3^d, C, d] (~2.7x tiling expansion) to ~2 GB on a 16 GB v5e while
-    # keeping the number of host→device round trips per query batch small
+    # keeping the number of host→device round trips per query batch small;
+    # doubled when the realized capacity is <= 32 (half the bytes per query)
     GRID_CHUNK = 32768
+
+    @property
+    def _grid_chunk(self) -> int:
+        if self._grid is not None and self._grid.get("C", 64) <= 32:
+            return 2 * self.GRID_CHUNK
+        return self.GRID_CHUNK
 
     def __init__(self, points, values=None, dtype=jnp.float32,
                  tile_n: int = DEFAULT_TILE_N, tile_q: int = DEFAULT_TILE_Q):
@@ -507,10 +514,11 @@ class KNNIndex:
         q_total = queries.shape[0]
         qf32 = queries.astype(np.float32)
         pending = []
-        for lo in range(0, q_total, self.GRID_CHUNK):
-            chunk = qf32[lo:lo + self.GRID_CHUNK]
+        grid_chunk = self._grid_chunk
+        for lo in range(0, q_total, grid_chunk):
+            chunk = qf32[lo:lo + grid_chunk]
             n = chunk.shape[0]
-            n_pad = _bucket_pow2(n, min(self._tile_q, self.GRID_CHUNK))
+            n_pad = _bucket_pow2(n, min(self._tile_q, grid_chunk))
             qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
             qarr[:n] = chunk
             if mode == "predict":
@@ -609,7 +617,7 @@ class KNNIndex:
                     jnp.asarray(self._perm_pad[idx].astype(np.int32)), n)
 
         g = self._grid
-        chunk = self.GRID_CHUNK
+        chunk = self._grid_chunk
         n_pad = (_bucket_pow2(n, 256) if n <= chunk
                  else -(-n // chunk) * chunk)
         qf32 = np.zeros((n_pad, self.n_dim), dtype=np.float32)
