@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.knn import (KNNIndex, _search, _idw, _grid_neighborhood,
-                       _sort_neighbors)
+                       _sort_neighbors, _dilated_topk)
 from ..ops import morton
 
 logger = logging.getLogger(__name__)
@@ -468,6 +468,7 @@ class SamplingTree:
         # exact full scan already — no grid fast path, so no retry variant
         self._epoch_fn_full = self._epoch_fn
         self._epoch_fn_full_small = self._epoch_fn
+        self._epoch_fn_ring2 = None
 
     def _build_epoch_fn(self):
         """Build the fused epoch kernel(s): metric prediction at own + child
@@ -500,6 +501,17 @@ class SamplingTree:
             return geometry_and_gain(coords, level, lo, width, gain0, dirs,
                                      offsets, pred, bad)
 
+        def grid_tail(coords, level, lo, width, gain0, dirs, offsets,
+                      qbad, sq, idx, vals):
+            """Shared finish: canonical (sq, idx) order → bitwise-identical
+            IDW to the full-scan kernel for accepted rows, then the packed
+            gain/metric/validity output."""
+            sq, _, vals = _sort_neighbors(sq, idx, vals)
+            pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
+            bad = qbad.reshape(-1, n_children).any(axis=1)
+            return geometry_and_gain(coords, level, lo, width, gain0, dirs,
+                                     offsets, pred, bad)
+
         def fn_grid(coords, level, lo, width, gain0, dirs, offsets, shift,
                     cell_pts, cell_vals, cell_list, overflow, origin, inv_h,
                     dims):
@@ -520,13 +532,46 @@ class SamplingTree:
                                       axis=1)
             vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,
                                        axis=1)
-            # canonical (sq, idx) order → bitwise-identical to the
-            # full-scan kernel for accepted rows (ops/knn._sort_neighbors)
-            sq, _, vals = _sort_neighbors(sq, idx, vals)
-            pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
-            bad = qbad.reshape(-1, n_children).any(axis=1)
-            return geometry_and_gain(coords, level, lo, width, gain0, dirs,
-                                     offsets, pred, bad)
+            return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
+                             qbad, sq, idx, vals)
+
+        def fn_grid_dil(coords, level, lo, width, gain0, dirs, offsets,
+                        shift, dil_pts, dil_cand, dil_ovf, dil_vals, origin,
+                        inv_h, dims, smat):
+            """Dilated layout: one gather slice per query (~4x the effective
+            gather bandwidth of the blocked form on the v5e)."""
+            qflat = query_centers(coords, level, lo, width, dirs, shift)
+            sq, idx, sel, ok, flat = _dilated_topk(
+                qflat, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
+                smat, k)
+            vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
+            return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
+                             ~ok, sq, idx, vals)
+
+        def fn_grid_ring2(coords, level, lo, width, gain0, dirs, offsets,
+                          shift, cell_pts, cell_vals, cell_list, overflow,
+                          origin, inv_h, dims):
+            """Radius-2 (5^d-neighborhood) retry: exact whenever the k-th
+            neighbor lies within ~2h — resolves nearly all hole-adjacent
+            queries at a fraction of a 500k-point full scan."""
+            qflat = query_centers(coords, level, lo, width, dirs, shift)
+            flat, margin_sq = _grid_neighborhood(qflat, cell_list.shape[0],
+                                                 origin, inv_h, dims,
+                                                 radius=2)
+            q = qflat.shape[0]
+            ovf = overflow[flat].any(axis=1)
+            cpts = cell_pts[flat]                               # [Q, 5^d, C, d]
+            delta = qflat[:, None, None, :] - cpts
+            d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
+            top_s, sel = jax.lax.top_k(-d2, k)
+            sq = -top_s
+            qbad = (sq.max(axis=1) > margin_sq) | ovf
+            idx = jnp.take_along_axis(cell_list[flat].reshape(q, -1), sel,
+                                      axis=1)
+            vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,
+                                       axis=1)
+            return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
+                             qbad, sq, idx, vals)
 
         def fn_full_small(coords, level, lo, width, gain0, dirs, offsets,
                           shift, points, points_sq, values):
@@ -550,13 +595,26 @@ class SamplingTree:
         jit_full_small = jax.jit(fn_full_small)
         self._epoch_fn_full_small = lambda c, l: jit_full_small(c, l, *full_args)
 
+        self._epoch_fn_ring2 = None
         if knn._grid is not None:
             g = knn._grid
-            jit_grid = jax.jit(fn_grid)
-            grid_args = common + (g["cell_pts"], g["cell_vals"],
-                                  g["cell_list"], g["overflow"], g["origin"],
-                                  g["inv_h"], g["dims"])
+            if "dil_vals" in g:
+                jit_grid = jax.jit(fn_grid_dil)
+                grid_args = common + (g["dil_pts"], g["dil_cand"],
+                                      g["dil_ovf"], g["dil_vals"],
+                                      g["origin"], g["inv_h"], g["dims"],
+                                      g["smat"])
+            else:
+                jit_grid = jax.jit(fn_grid)
+                grid_args = common + (g["cell_pts"], g["cell_vals"],
+                                      g["cell_list"], g["overflow"],
+                                      g["origin"], g["inv_h"], g["dims"])
             self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
+            jit_r2 = jax.jit(fn_grid_ring2)
+            r2_args = common + (g["cell_pts"], g["cell_vals"],
+                                g["cell_list"], g["overflow"], g["origin"],
+                                g["inv_h"], g["dims"])
+            self._epoch_fn_ring2 = lambda c, l: jit_r2(c, l, *r2_args)
         else:
             self._epoch_fn = self._epoch_fn_full
 
@@ -618,8 +676,24 @@ class SamplingTree:
             good = ~bad
             self._apply_epoch_out(part[good], out[good])
 
-        if retry:
-            retry_idx = np.concatenate(retry)
+        retry_idx = (np.concatenate(retry) if retry
+                     else np.zeros(0, dtype=np.int64))
+        if retry_idx.size and self._epoch_fn_ring2 is not None:
+            # first escalation: radius-2 grid neighborhood (exact within
+            # ~2h) — resolves nearly all hole-adjacent queries without the
+            # full scan. Capped at 1024 cells/call (5^d blocked-gather temp).
+            still = []
+            for lo in range(0, retry_idx.size, 1024):
+                part = retry_idx[lo:lo + 1024]
+                out = np.asarray(dispatch(part, self._epoch_fn_ring2,
+                                          minimum=128))[:part.size]
+                bad2 = (out[:, 3] > 0.5) & ~(out[:, 2] > 0.5)
+                self._apply_epoch_out(part[~bad2], out[~bad2])
+                if bad2.any():
+                    still.append(part[bad2])
+            retry_idx = (np.concatenate(still) if still
+                         else np.zeros(0, dtype=np.int64))
+        if retry_idx.size:
             for lo in range(0, retry_idx.size, chunk_size):
                 part = retry_idx[lo:lo + chunk_size]
                 if part.size <= 512:

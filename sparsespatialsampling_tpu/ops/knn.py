@@ -129,9 +129,10 @@ def _idw(sq, eps: float = 1e-12):
     return w / w.sum(axis=1, keepdims=True)
 
 
-def _neighbor_offsets(d: int) -> np.ndarray:
-    """All 3^d offsets in {-1, 0, 1}^d (the query cell's neighborhood)."""
-    return np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d), indexing="ij"),
+def _neighbor_offsets(d: int, radius: int = 1) -> np.ndarray:
+    """All (2r+1)^d offsets in {-r..r}^d (the query cell's neighborhood)."""
+    rng = np.arange(-radius, radius + 1)
+    return np.stack(np.meshgrid(*([rng] * d), indexing="ij"),
                     axis=-1).reshape(-1, d).astype(np.int32)
 
 
@@ -142,26 +143,27 @@ def _grid_flat_cells(anchors, n_cells_total, origin, inv_h, dims):
     return flat
 
 
-def _grid_neighborhood(anchors, n_cells_total, origin, inv_h, dims):
-    """Flat ids of each anchor's 3^d grid neighborhood plus the squared
+def _grid_neighborhood(anchors, n_cells_total, origin, inv_h, dims,
+                       radius: int = 1):
+    """Flat ids of each anchor's (2r+1)^d grid neighborhood plus the squared
     *exactness margin*: every point within ``sqrt(margin_sq)`` of the anchor
     provably lies inside the neighborhood's spatial extent, so a top-k whose
     worst distance stays below the margin is exact.  The margin is the
-    distance from the anchor to the nearest face of its 3^d block —
-    between ``h`` (anchor on a cell face) and ``1.5 h`` (anchor at a cell
+    distance from the anchor to the nearest face of its block — between
+    ``r·h`` (anchor on a cell face) and ``(r+0.5)·h`` (anchor at a cell
     center) — a strictly better acceptance test than the conservative
-    constant ``h`` and therefore fewer full-scan fallbacks near density
-    dips.  Returns ``(flat [Q, 3^d], margin_sq [Q])``."""
+    constant ``r·h`` and therefore fewer fallbacks near density dips.
+    Returns ``(flat [Q, (2r+1)^d], margin_sq [Q])``."""
     d = anchors.shape[1]
-    offs = jnp.asarray(_neighbor_offsets(d))
+    offs = jnp.asarray(_neighbor_offsets(d, radius))
     t = (anchors - origin) * inv_h
     cc = jnp.floor(t).astype(jnp.int32)                                 # [Q, d]
     frac = jnp.clip(t - cc, 0.0, 1.0)                                   # [Q, d]
     h = 1.0 / inv_h
-    margin = (1.0 + jnp.minimum(frac, 1.0 - frac).min(axis=1)) * h      # [Q]
+    margin = (radius + jnp.minimum(frac, 1.0 - frac).min(axis=1)) * h   # [Q]
     margin_sq = (margin * margin) * (1.0 - 1e-4)
-    nb = cc[:, None, :] + offs[None, :, :]                              # [Q, 3^d, d]
-    valid = jnp.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)  # [Q, 3^d]
+    nb = cc[:, None, :] + offs[None, :, :]                              # [Q, R, d]
+    valid = jnp.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)  # [Q, R]
     flat = nb[..., 0]
     for ax in range(1, d):
         flat = flat * dims[ax] + nb[..., ax]
@@ -264,6 +266,84 @@ def _predict_padded(queries, points, points_sq, values, k, tile_n, tile_q):
     if vals.ndim == 3:
         return jnp.einsum("qk,qkc->qc", w, vals)
     return jnp.einsum("qk,qk->q", w, vals)
+
+
+@jax.jit
+def _dilate(arr, nb):
+    """Concatenate each cell's 3^d neighborhood rows: ``arr [n, W]``,
+    ``nb [n, 3^d]`` → ``[n, 3^d·W]`` (one-time build of the dilated grid
+    layout; the slow pointwise gather runs once here instead of per query)."""
+    return arr[nb].reshape(nb.shape[0], -1)
+
+
+@jax.jit
+def _dilate_any(flags, nb):
+    return flags[nb].any(axis=1)
+
+
+def _grid_query_margin(queries, origin, inv_h, dims, n_sentinel):
+    """Flat cell id + exactness margin of each query for the DILATED layout
+    (the query's own cell indexes the pre-concatenated neighborhood)."""
+    d = queries.shape[1]
+    t = (queries - origin) * inv_h
+    cc = jnp.floor(t).astype(jnp.int32)
+    frac = jnp.clip(t - cc, 0.0, 1.0)
+    h = 1.0 / inv_h
+    margin = (1.0 + jnp.minimum(frac, 1.0 - frac).min(axis=1)) * h
+    margin_sq = margin * margin * (1.0 - 1e-4)
+    inside = jnp.logical_and(cc >= 0, cc < dims[None, :]).all(-1)
+    flat = cc[..., 0]
+    for ax in range(1, d):
+        flat = flat * dims[ax] + cc[..., ax]
+    return jnp.where(inside, flat, n_sentinel), margin_sq
+
+
+def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
+                  smat, k):
+    """Candidate search on the dilated layout: ONE gather slice per query,
+    squared distances via an MXU group-sum matmul, then top-k.
+
+    Returns ``(sq [Q, k], idx [Q, k], sel [Q, k], ok [Q], flat [Q])`` with
+    ``sel`` the position in the flattened candidate axis (for value
+    gathers)."""
+    q = queries.shape[0]
+    cd = smat.shape[0]                                   # C·d
+    flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
+                                         dil_pts.shape[0] - 1)
+    gathered = dil_pts[flat].reshape(q, -1, cd)          # [Q, 3^d, C·d]
+    qrep = jnp.tile(queries, (1, smat.shape[1]))         # [Q, C·d]
+    delta = gathered - qrep[:, None, :]
+    d2 = jax.lax.dot_general(delta * delta, smat,
+                             (((2,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    d2 = d2.reshape(q, -1)                               # [Q, 3^d·C]
+    top_s, sel = jax.lax.top_k(-d2, k)
+    sq = -top_s
+    idx = jnp.take_along_axis(dil_cand[flat], sel, axis=1)
+    ok = (sq.max(axis=1) <= margin_sq) & ~dil_ovf[flat]
+    return sq, idx, sel, ok, flat
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _grid_query_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, origin,
+                           inv_h, dims, smat, k):
+    sq, idx, _, ok, _ = _dilated_topk(queries, dil_pts, dil_cand, dil_ovf,
+                                      origin, inv_h, dims, smat, k)
+    sq, idx = _sort_neighbors(sq, idx)
+    return sq, idx, ok
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _grid_predict_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, dil_vals,
+                             origin, inv_h, dims, smat, k):
+    sq, idx, sel, ok, flat = _dilated_topk(queries, dil_pts, dil_cand,
+                                           dil_ovf, origin, inv_h, dims,
+                                           smat, k)
+    sq, idx, sel = _sort_neighbors(sq, idx, sel)
+    w = _idw(sq)
+    vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
+    pred = jnp.einsum("qk,qk->q", w, vals)
+    return pred, ok
 
 
 @jax.jit
@@ -407,8 +487,9 @@ class KNNIndex:
         # blocked member coordinates [n_cells+1, C, d]: the query kernels
         # gather one contiguous C·d·4-byte slab per neighborhood cell instead
         # of C pointwise 12-byte lookups (the pointwise gather was ~90 % of
-        # the kernel wall time on TPU); pad slots inherit the huge pad coords
-        cell_pts = np.full((n_cells + 1, C, d), 1e30, dtype=np.float32)
+        # the kernel wall time on TPU); pad slots hold 1e15 so squared
+        # distances stay finite (~3e30) yet never rank into any top-k
+        cell_pts = np.full((n_cells + 1, C, d), 1e15, dtype=np.float32)
         cell_pts[flat[order][keep], pos_in_cell[keep]] = \
             sorted_pts[order[keep]].astype(np.float32)
 
@@ -424,6 +505,37 @@ class KNNIndex:
         }
         # host copies for the lazy cell_vals build in set_values
         self._grid_fill = (flat[order][keep], pos_in_cell[keep], order[keep])
+
+        # dilated fast path: each cell additionally stores its whole 3^d
+        # neighborhood contiguously, so a query gathers ONE slice instead of
+        # 3^d — measured ~4x better effective gather bandwidth on the v5e.
+        # Memory is (3^d)x the blocked layout, so gate by size.
+        n_nb = 3 ** d
+        dil_bytes = (n_cells + 1) * n_nb * C * (d + 2) * 4
+        if dil_bytes <= 1.5e9:
+            coords = np.stack(np.unravel_index(np.arange(n_cells), dims),
+                              axis=1)
+            nb = coords[:, None, :] + _neighbor_offsets(d)[None, :, :]
+            valid = np.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)
+            flat_nb = nb[..., 0]
+            for ax in range(1, d):
+                flat_nb = flat_nb * dims[ax] + nb[..., ax]
+            flat_nb = np.where(valid, flat_nb, n_cells).astype(np.int32)
+            flat_nb = np.concatenate(
+                [flat_nb, np.full((1, n_nb), n_cells, np.int32)])
+            nb_dev = jnp.asarray(flat_nb)
+            self._grid["_nb"] = nb_dev
+            g = self._grid
+            self._grid["dil_pts"] = _dilate(
+                g["cell_pts"].reshape(n_cells + 1, C * d), nb_dev)
+            self._grid["dil_cand"] = _dilate(g["cell_list"], nb_dev)
+            self._grid["dil_ovf"] = _dilate_any(g["overflow"], nb_dev)
+            # group-sum matrix reducing (C·d)-flattened squared deltas to
+            # per-candidate squared distances on the MXU
+            smat = np.zeros((C * d, C), dtype=np.float32)
+            for c in range(C):
+                smat[c * d:(c + 1) * d, c] = 1.0
+            self._grid["smat"] = jnp.asarray(smat)
 
     def _morton_codes(self, pts: np.ndarray) -> np.ndarray:
         from . import morton
@@ -452,6 +564,9 @@ class KNNIndex:
                                  dtype=np.float32)
             cell_vals[cells, pos] = sorted_vals[order]
             self._grid["cell_vals"] = jnp.asarray(cell_vals)
+            if "_nb" in self._grid and values.ndim == 1:
+                self._grid["dil_vals"] = _dilate(self._grid["cell_vals"],
+                                                 self._grid["_nb"])
 
     def _run_chunked(self, kernel_args_fn, queries):
         """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows.
@@ -522,14 +637,26 @@ class KNNIndex:
             qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
             qarr[:n] = chunk
             if mode == "predict":
-                fut = _grid_predict_kernel(
-                    jnp.asarray(qarr), g["cell_pts"], g["cell_vals"],
-                    g["cell_list"], g["overflow"], g["origin"], g["inv_h"],
-                    g["dims"], k)
+                if "dil_vals" in g:
+                    fut = _grid_predict_kernel_dil(
+                        jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
+                        g["dil_ovf"], g["dil_vals"], g["origin"],
+                        g["inv_h"], g["dims"], g["smat"], k)
+                else:
+                    fut = _grid_predict_kernel(
+                        jnp.asarray(qarr), g["cell_pts"], g["cell_vals"],
+                        g["cell_list"], g["overflow"], g["origin"],
+                        g["inv_h"], g["dims"], k)
             else:
-                fut = _grid_query_kernel(
-                    jnp.asarray(qarr), g["cell_pts"], g["cell_list"],
-                    g["overflow"], g["origin"], g["inv_h"], g["dims"], k)
+                if "dil_pts" in g:
+                    fut = _grid_query_kernel_dil(
+                        jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
+                        g["dil_ovf"], g["origin"], g["inv_h"], g["dims"],
+                        g["smat"], k)
+                else:
+                    fut = _grid_query_kernel(
+                        jnp.asarray(qarr), g["cell_pts"], g["cell_list"],
+                        g["overflow"], g["origin"], g["inv_h"], g["dims"], k)
             pending.append((lo, n, fut))
 
         if mode == "predict":
@@ -625,9 +752,14 @@ class KNNIndex:
         parts = []
         for lo in range(0, n_pad, chunk):
             qarr = jnp.asarray(qf32[lo:lo + chunk])
-            parts.append(_grid_query_kernel(
-                qarr, g["cell_pts"], g["cell_list"], g["overflow"],
-                g["origin"], g["inv_h"], g["dims"], k))
+            if "dil_pts" in g:
+                parts.append(_grid_query_kernel_dil(
+                    qarr, g["dil_pts"], g["dil_cand"], g["dil_ovf"],
+                    g["origin"], g["inv_h"], g["dims"], g["smat"], k))
+            else:
+                parts.append(_grid_query_kernel(
+                    qarr, g["cell_pts"], g["cell_list"], g["overflow"],
+                    g["origin"], g["inv_h"], g["dims"], k))
 
         # tiny readback: only the ok bitmaps decide the exact-fallback rows
         bad_rows = []
