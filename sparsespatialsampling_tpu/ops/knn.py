@@ -307,6 +307,7 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
     ``sel`` the position in the flattened candidate axis (for value
     gathers)."""
     q = queries.shape[0]
+    d = queries.shape[1]
     cd = smat.shape[0]                                   # C·d
     flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
                                          dil_pts.shape[0] - 1)
@@ -318,7 +319,14 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
                              precision=jax.lax.Precision.HIGHEST)
     d2 = d2.reshape(q, -1)                               # [Q, 3^d·C]
     top_s, sel = jax.lax.top_k(-d2, k)
-    sq = -top_s
+    # recompute the selected distances with the plain delta-sum — the SAME
+    # f32 rounding as the blocked and full-scan paths, so downstream IDW
+    # and acceptance are path-independent (the matmul form rounds one ulp
+    # differently, which was enough to flip refinement tie-breaks)
+    sel_pts = jnp.take_along_axis(gathered.reshape(q, -1, d),
+                                  sel[..., None], axis=1)  # [Q, k, d]
+    dd = queries[:, None, :] - sel_pts
+    sq = jnp.sum(dd * dd, axis=-1)
     idx = jnp.take_along_axis(dil_cand[flat], sel, axis=1)
     ok = (sq.max(axis=1) <= margin_sq) & ~dil_ovf[flat]
     return sq, idx, sel, ok, flat
