@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.knn import (KNNIndex, _search, _idw, _grid_neighborhood,
-                       _sort_neighbors, _dilated_topk)
+                       _sort_neighbors, _dilated_topk,
+                       _overflow_contaminated)
 from ..ops import morton
 
 logger = logging.getLogger(__name__)
@@ -521,13 +522,14 @@ class SamplingTree:
             flat, margin_sq = _grid_neighborhood(qflat, cell_list.shape[0],
                                                  origin, inv_h, dims)
             q = qflat.shape[0]
-            ovf = overflow[flat].any(axis=1)
             cpts = cell_pts[flat]                               # [Q, 3^d, C, d]
             delta = qflat[:, None, None, :] - cpts
             d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
             top_s, sel = jax.lax.top_k(-d2, k)
             sq = -top_s
-            qbad = (sq.max(axis=1) > margin_sq) | ovf
+            qbad = ((sq.max(axis=1) > margin_sq)
+                    | _overflow_contaminated(qflat, overflow[flat],
+                                             sq.max(axis=1), origin, inv_h))
             idx = jnp.take_along_axis(cell_list[flat].reshape(q, -1), sel,
                                       axis=1)
             vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,
@@ -559,13 +561,15 @@ class SamplingTree:
                                                  origin, inv_h, dims,
                                                  radius=2)
             q = qflat.shape[0]
-            ovf = overflow[flat].any(axis=1)
             cpts = cell_pts[flat]                               # [Q, 5^d, C, d]
             delta = qflat[:, None, None, :] - cpts
             d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
             top_s, sel = jax.lax.top_k(-d2, k)
             sq = -top_s
-            qbad = (sq.max(axis=1) > margin_sq) | ovf
+            qbad = ((sq.max(axis=1) > margin_sq)
+                    | _overflow_contaminated(qflat, overflow[flat],
+                                             sq.max(axis=1), origin, inv_h,
+                                             radius=2))
             idx = jnp.take_along_axis(cell_list[flat].reshape(q, -1), sel,
                                       axis=1)
             vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,

@@ -143,6 +143,28 @@ def _grid_flat_cells(anchors, n_cells_total, origin, inv_h, dims):
     return flat
 
 
+def _overflow_contaminated(queries, ovf_nb, sq_max, origin, inv_h,
+                           radius: int = 1):
+    """Precise overflow verdict: a query is contaminated only if an
+    OVERFLOWING neighborhood cell's box intersects its k-ball (hidden
+    members beyond the cell capacity can only live inside that box).  The
+    naive ``any(overflow)`` flag forced exact fallbacks for every query
+    near one of a handful of overflowing cells — in clustered refinement
+    regions that meant a full scan every iteration for nothing.
+
+    ``ovf_nb [Q, R]`` per-neighbor overflow flags in `_neighbor_offsets`
+    order; ``sq_max [Q]`` the realized k-th squared distance."""
+    d = queries.shape[1]
+    offs = jnp.asarray(_neighbor_offsets(d, radius), dtype=jnp.float32)
+    h = 1.0 / inv_h
+    cc = jnp.floor((queries - origin) * inv_h)
+    lo_box = (cc[:, None, :] + offs[None, :, :]) * h + origin
+    gap = jnp.maximum(jnp.maximum(lo_box - queries[:, None, :],
+                                  queries[:, None, :] - (lo_box + h)), 0.0)
+    dist2 = jnp.sum(gap * gap, axis=-1)                                 # [Q, R]
+    return (ovf_nb & (dist2 <= sq_max[:, None])).any(axis=1)
+
+
 def _grid_neighborhood(anchors, n_cells_total, origin, inv_h, dims,
                        radius: int = 1):
     """Flat ids of each anchor's (2r+1)^d grid neighborhood plus the squared
@@ -193,30 +215,31 @@ def _grid_candidates(queries, cell_pts, cell_list, cell_overflow, origin,
     the gather moves cache-line-sized blocks instead of 12-byte random
     lookups (the pointwise form was ~90 % of the kernel's wall time on TPU).
 
-    Returns ``(d2 [Q, 3^d·C], cand [Q, 3^d·C], ok [Q] margin/overflow
-    pre-verdict, flat [Q, 3^d])``; ``ok`` must still be combined with the
-    realized top-k distances (exact iff ``d_k² ≤ margin²``).
+    Returns ``(d2 [Q, 3^d·C], cand [Q, 3^d·C], margin_sq [Q], ovf_nb
+    [Q, 3^d] per-neighbor overflow flags, flat [Q, 3^d])``.
     """
     flat, margin_sq = _grid_neighborhood(queries, cell_list.shape[0],
                                          origin, inv_h, dims)
     q = queries.shape[0]
     cand = cell_list[flat].reshape(q, -1)                               # [Q, 3^d·C]
-    overflow = cell_overflow[flat].any(axis=1)
+    ovf_nb = cell_overflow[flat]                                        # [Q, 3^d]
     cpts = cell_pts[flat]                                               # [Q, 3^d, C, d]
     delta = queries[:, None, None, :] - cpts
     d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)                 # [Q, 3^d·C]
-    return d2, cand, margin_sq, overflow, flat
+    return d2, cand, margin_sq, ovf_nb, flat
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _grid_query_kernel(queries, cell_pts, cell_list, cell_overflow, origin,
                        inv_h, dims, k):
-    d2, cand, margin_sq, overflow, _ = _grid_candidates(
+    d2, cand, margin_sq, ovf_nb, _ = _grid_candidates(
         queries, cell_pts, cell_list, cell_overflow, origin, inv_h, dims)
     top_s, sel = jax.lax.top_k(-d2, k)
     sq = -top_s
     idx = jnp.take_along_axis(cand, sel, axis=1)
-    ok = (sq.max(axis=1) <= margin_sq) & ~overflow
+    ok = ((sq.max(axis=1) <= margin_sq)
+          & ~_overflow_contaminated(queries, ovf_nb, sq.max(axis=1),
+                                    origin, inv_h))
     sq, idx = _sort_neighbors(sq, idx)
     return sq, idx, ok
 
@@ -224,12 +247,14 @@ def _grid_query_kernel(queries, cell_pts, cell_list, cell_overflow, origin,
 @partial(jax.jit, static_argnames=("k",))
 def _grid_predict_kernel(queries, cell_pts, cell_vals, cell_list,
                          cell_overflow, origin, inv_h, dims, k):
-    d2, cand, margin_sq, overflow, flat = _grid_candidates(
+    d2, cand, margin_sq, ovf_nb, flat = _grid_candidates(
         queries, cell_pts, cell_list, cell_overflow, origin, inv_h, dims)
     top_s, sel = jax.lax.top_k(-d2, k)
     sq = -top_s
     idx = jnp.take_along_axis(cand, sel, axis=1)
-    ok = (sq.max(axis=1) <= margin_sq) & ~overflow
+    ok = ((sq.max(axis=1) <= margin_sq)
+          & ~_overflow_contaminated(queries, ovf_nb, sq.max(axis=1),
+                                    origin, inv_h))
     sq, idx, sel = _sort_neighbors(sq, idx, sel)
     w = _idw(sq)
     # values gathered from the same blocked layout, then selected
@@ -277,8 +302,10 @@ def _dilate(arr, nb):
 
 
 @jax.jit
-def _dilate_any(flags, nb):
-    return flags[nb].any(axis=1)
+def _dilate_flags(flags, nb):
+    """Per-neighbor flags ``[n, 3^d]`` (NOT reduced — the precise overflow
+    verdict needs to know WHICH neighborhood cell overflowed)."""
+    return flags[nb]
 
 
 def _grid_query_margin(queries, origin, inv_h, dims, n_sentinel):
@@ -328,7 +355,9 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
     dd = queries[:, None, :] - sel_pts
     sq = jnp.sum(dd * dd, axis=-1)
     idx = jnp.take_along_axis(dil_cand[flat], sel, axis=1)
-    ok = (sq.max(axis=1) <= margin_sq) & ~dil_ovf[flat]
+    ok = ((sq.max(axis=1) <= margin_sq)
+          & ~_overflow_contaminated(queries, dil_ovf[flat], sq.max(axis=1),
+                                    origin, inv_h))
     return sq, idx, sel, ok, flat
 
 
@@ -537,7 +566,7 @@ class KNNIndex:
             self._grid["dil_pts"] = _dilate(
                 g["cell_pts"].reshape(n_cells + 1, C * d), nb_dev)
             self._grid["dil_cand"] = _dilate(g["cell_list"], nb_dev)
-            self._grid["dil_ovf"] = _dilate_any(g["overflow"], nb_dev)
+            self._grid["dil_ovf"] = _dilate_flags(g["overflow"], nb_dev)
             # group-sum matrix reducing (C·d)-flattened squared deltas to
             # per-candidate squared distances on the MXU
             smat = np.zeros((C * d, C), dtype=np.float32)
