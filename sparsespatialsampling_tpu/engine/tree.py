@@ -469,7 +469,7 @@ class SamplingTree:
         # exact full scan already — no grid fast path, so no retry variant
         self._epoch_fn_full = self._epoch_fn
         self._epoch_fn_full_small = self._epoch_fn
-        self._epoch_fn_ring2 = None
+        self._epoch_fn_ring = None
 
     def _build_epoch_fn(self):
         """Build the fused epoch kernel(s): metric prediction at own + child
@@ -550,32 +550,36 @@ class SamplingTree:
             return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
                              ~ok, sq, idx, vals)
 
-        def fn_grid_ring2(coords, level, lo, width, gain0, dirs, offsets,
-                          shift, cell_pts, cell_vals, cell_list, overflow,
-                          origin, inv_h, dims):
-            """Radius-2 (5^d-neighborhood) retry: exact whenever the k-th
-            neighbor lies within ~2h — resolves nearly all hole-adjacent
-            queries at a fraction of a 500k-point full scan."""
-            qflat = query_centers(coords, level, lo, width, dirs, shift)
-            flat, margin_sq = _grid_neighborhood(qflat, cell_list.shape[0],
-                                                 origin, inv_h, dims,
-                                                 radius=2)
-            q = qflat.shape[0]
-            cpts = cell_pts[flat]                               # [Q, 5^d, C, d]
-            delta = qflat[:, None, None, :] - cpts
-            d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
-            top_s, sel = jax.lax.top_k(-d2, k)
-            sq = -top_s
-            qbad = ((sq.max(axis=1) > margin_sq)
-                    | _overflow_contaminated(qflat, overflow[flat],
-                                             sq.max(axis=1), origin, inv_h,
-                                             radius=2))
-            idx = jnp.take_along_axis(cell_list[flat].reshape(q, -1), sel,
-                                      axis=1)
-            vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,
-                                       axis=1)
-            return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
-                             qbad, sq, idx, vals)
+        def fn_grid_ring(radius):
+            """Wide-neighborhood ((2r+1)^d) retry kernel factory: exact
+            whenever the k-th neighbor lies within ~r·h.  At r=4 the margin
+            (~4h) covers every hole-adjacent query a VALID cell can produce
+            on these workloads, so the 500k-point full scan essentially
+            never fires."""
+            def fn(coords, level, lo, width, gain0, dirs, offsets,
+                   shift, cell_pts, cell_vals, cell_list, overflow,
+                   origin, inv_h, dims):
+                qflat = query_centers(coords, level, lo, width, dirs, shift)
+                flat, margin_sq = _grid_neighborhood(
+                    qflat, cell_list.shape[0], origin, inv_h, dims,
+                    radius=radius)
+                q = qflat.shape[0]
+                cpts = cell_pts[flat]                       # [Q, R, C, d]
+                delta = qflat[:, None, None, :] - cpts
+                d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
+                top_s, sel = jax.lax.top_k(-d2, k)
+                sq = -top_s
+                qbad = ((sq.max(axis=1) > margin_sq)
+                        | _overflow_contaminated(qflat, overflow[flat],
+                                                 sq.max(axis=1), origin,
+                                                 inv_h, radius=radius))
+                idx = jnp.take_along_axis(cell_list[flat].reshape(q, -1),
+                                          sel, axis=1)
+                vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1),
+                                           sel, axis=1)
+                return grid_tail(coords, level, lo, width, gain0, dirs,
+                                 offsets, qbad, sq, idx, vals)
+            return fn
 
         def fn_full_small(coords, level, lo, width, gain0, dirs, offsets,
                           shift, points, points_sq, values):
@@ -599,7 +603,7 @@ class SamplingTree:
         jit_full_small = jax.jit(fn_full_small)
         self._epoch_fn_full_small = lambda c, l: jit_full_small(c, l, *full_args)
 
-        self._epoch_fn_ring2 = None
+        self._epoch_fn_ring = None
         if knn._grid is not None:
             g = knn._grid
             if "dil_vals" in g:
@@ -614,11 +618,11 @@ class SamplingTree:
                                       g["cell_list"], g["overflow"],
                                       g["origin"], g["inv_h"], g["dims"])
             self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
-            jit_r2 = jax.jit(fn_grid_ring2)
-            r2_args = common + (g["cell_pts"], g["cell_vals"],
-                                g["cell_list"], g["overflow"], g["origin"],
-                                g["inv_h"], g["dims"])
-            self._epoch_fn_ring2 = lambda c, l: jit_r2(c, l, *r2_args)
+            jit_ring = jax.jit(fn_grid_ring(4))
+            ring_args = common + (g["cell_pts"], g["cell_vals"],
+                                  g["cell_list"], g["overflow"], g["origin"],
+                                  g["inv_h"], g["dims"])
+            self._epoch_fn_ring = lambda c, l: jit_ring(c, l, *ring_args)
         else:
             self._epoch_fn = self._epoch_fn_full
 
@@ -682,14 +686,14 @@ class SamplingTree:
 
         retry_idx = (np.concatenate(retry) if retry
                      else np.zeros(0, dtype=np.int64))
-        if retry_idx.size and self._epoch_fn_ring2 is not None:
-            # first escalation: radius-2 grid neighborhood (exact within
-            # ~2h) — resolves nearly all hole-adjacent queries without the
-            # full scan. Capped at 1024 cells/call (5^d blocked-gather temp).
+        if retry_idx.size and self._epoch_fn_ring is not None:
+            # first escalation: radius-4 grid neighborhood (exact within
+            # ~4h) — resolves hole-adjacent queries without the full scan.
+            # Capped at 256 cells/call (the 9^d blocked-gather temporary).
             still = []
-            for lo in range(0, retry_idx.size, 1024):
-                part = retry_idx[lo:lo + 1024]
-                out = np.asarray(dispatch(part, self._epoch_fn_ring2,
+            for lo in range(0, retry_idx.size, 256):
+                part = retry_idx[lo:lo + 256]
+                out = np.asarray(dispatch(part, self._epoch_fn_ring,
                                           minimum=128))[:part.size]
                 bad2 = (out[:, 3] > 0.5) & ~(out[:, 2] > 0.5)
                 self._apply_epoch_out(part[~bad2], out[~bad2])

@@ -492,29 +492,55 @@ class KNNIndex:
         extent = np.maximum(hi - lo, 1e-30)
         density = self.n_points / float(np.prod(extent))
         h = (self.GRID_OCCUPANCY / density) ** (1.0 / d)
-        dims = np.maximum(np.ceil(extent / h).astype(np.int64), 1)
+
+        def build_cells(h_val):
+            dims_v = np.maximum(np.ceil(extent / h_val).astype(np.int64), 1)
+            cc = np.clip(((sorted_pts - lo) / h_val).astype(np.int64), 0,
+                         dims_v - 1)
+            flat_v = cc[:, 0]
+            for ax in range(1, d):
+                flat_v = flat_v * dims_v[ax] + cc[:, ax]
+            counts_v = np.bincount(flat_v, minlength=int(np.prod(dims_v)))
+            return dims_v, flat_v, counts_v
+
+        def storage_ok(h_val):
+            dims_v = np.maximum(np.ceil(extent / h_val).astype(np.int64), 1)
+            return (np.prod(dims_v) * self.GRID_CAPACITY
+                    <= 8 * self.n_points + 4096)
+
         # cap the total cell count at ~4 points of storage per point
-        while np.prod(dims) * self.GRID_CAPACITY > 8 * self.n_points + 4096:
+        while not storage_ok(h):
             h *= 1.26
-            dims = np.maximum(np.ceil(extent / h).astype(np.int64), 1)
+        dims, flat, counts = build_cells(h)
+        # then SHRINK h until no cell exceeds 32 members (when the storage
+        # budget allows): the handful of Poisson-tail overflow cells a
+        # uniform cloud produces otherwise sit exactly where refinement
+        # clusters, forcing a verified exact fallback every iteration.
+        # Heavily clustered clouds stop at the budget and keep overflow
+        # cells + the fallback.
+        for _ in range(6):
+            if counts.max() <= 32 or not storage_ok(h / 1.15):
+                break
+            h /= 1.15
+            dims, flat, counts = build_cells(h)
         n_cells = int(np.prod(dims))
 
-        cc = np.clip(((sorted_pts - lo) / h).astype(np.int64), 0, dims - 1)
-        flat = cc[:, 0]
-        for ax in range(1, d):
-            flat = flat * dims[ax] + cc[:, ax]
-
         order = np.argsort(flat, kind="stable")
-        counts = np.bincount(flat, minlength=n_cells)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
         pos_in_cell = np.arange(self.n_points) - starts[flat[order]]
 
-        # adaptive capacity: pow2 covering the 99.9th-percentile occupancy
-        # (uniform clouds land at ~2x occupancy; graded CFD meshes grow it)
-        occupied = counts[counts > 0]
-        c999 = int(np.percentile(occupied, 99.9)) if occupied.size else 1
-        C = 1 << int(max(c999, 2, self.GRID_OCCUPANCY) - 1).bit_length()
-        C = int(min(self.GRID_CAPACITY, max(16, C)))
+        # capacity: the pow2 covering the realized max occupancy when that
+        # fits (zero overflow), else the 99.9th percentile with the rest
+        # overflowing into the exact fallback. Both hot kernel stages scale
+        # with the 3^d·C candidate width, so keep C tight.
+        maxc = int(counts.max())
+        if maxc <= self.GRID_CAPACITY:
+            C = max(16, 1 << int(max(maxc, 2) - 1).bit_length())
+        else:
+            occupied = counts[counts > 0]
+            c999 = int(np.percentile(occupied, 99.9)) if occupied.size else 1
+            C = 1 << int(max(c999, 2, self.GRID_OCCUPANCY) - 1).bit_length()
+            C = int(min(self.GRID_CAPACITY, max(16, C)))
         cell_list = np.full((n_cells + 1, C), self._pad_idx, dtype=np.int32)
         keep = pos_in_cell < C
         cell_list[flat[order][keep], pos_in_cell[keep]] = order[keep].astype(np.int32)
