@@ -206,6 +206,17 @@ class ExportData:
                            f"'[N_cells, 1, N_snapshots]'.")
             data = data[:, None, :]
 
+        # start the (async) snapshot upload BEFORE the weight-cache build so
+        # the ~100 MB transfer overlaps the k-NN search instead of
+        # serializing after it (device path only; the sharded path shards
+        # the host array itself)
+        from .parallel import sharding_enabled
+        data_for_interp = data
+        if not sharding_enabled():
+            import jax
+            data_for_interp = jax.device_put(
+                np.asarray(data, dtype=np.float32))
+
         if not self._initialized_weights:
             self._build_knn_cache(coordinates)
 
@@ -226,11 +237,11 @@ class ExportData:
             self._interpolated_metric = True
 
         self._interpolated_fields.centers = self._interpolate(
-            self._knn_w_centers, self._knn_idx_centers, data)
+            self._knn_w_centers, self._knn_idx_centers, data_for_interp)
 
         if self._interpolate_at_vertices:
             self._interpolated_fields.vertices = self._interpolate(
-                self._knn_w_vertices, self._knn_idx_vertices, data)
+                self._knn_w_vertices, self._knn_idx_vertices, data_for_interp)
 
         self._snapshot_counter += data.shape[-1]
 

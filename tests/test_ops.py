@@ -103,6 +103,22 @@ class TestKNN:
         dists, idx = index.query(pts[:3], 10)
         assert sorted(np.asarray(idx)[0].tolist()) == list(range(10))
 
+    def test_weights_device_matches_host(self):
+        """The device-resident weight cache must agree with the host path
+        (same neighbors, same normalized IDW weights) including fallback
+        rows."""
+        rng = np.random.default_rng(31)
+        pts = rng.uniform(size=(40_000, 2))
+        q = rng.uniform(-0.02, 1.02, size=(700, 2))  # some out-of-bbox rows
+        index = KNNIndex(pts)
+        w_h, i_h = index.weights(q, 8)
+        w_d, i_d, n = index.weights_device(q, 8)
+        assert n == 700
+        np.testing.assert_array_equal(np.sort(np.asarray(i_d)[:n], 1),
+                                      np.sort(i_h, 1))
+        np.testing.assert_allclose(np.sort(np.asarray(w_d)[:n], 1),
+                                   np.sort(w_h, 1), rtol=1e-5, atol=1e-7)
+
     def test_predict_host_multichannel(self):
         """predict_host must accept [N, C] values like predict does."""
         rng = np.random.default_rng(6)
