@@ -47,7 +47,10 @@ def interpolate_data(weights, idx, data, chunk_size: int = None) -> np.ndarray:
     """
     weights = np.asarray(weights, dtype=np.float32)
     idx = np.asarray(idx, dtype=np.int32)
-    data = jnp.asarray(np.asarray(data), dtype=jnp.float32)
+    if not isinstance(data, jax.Array):
+        data = jnp.asarray(np.asarray(data), dtype=jnp.float32)
+    elif data.dtype != jnp.float32:
+        data = data.astype(jnp.float32)
     m = weights.shape[0]
     if chunk_size is None:
         chunk_size = _auto_chunk(weights.shape[1], data.shape[1],
@@ -75,29 +78,48 @@ def interpolate_data(weights, idx, data, chunk_size: int = None) -> np.ndarray:
     return out
 
 
-def interpolate_device(w_dev, idx_dev, data, n, chunk_size: int = None):
+def interpolate_device(w_dev, idx_dev, data, n, chunk_size: int = None,
+                       timings: dict = None):
     """Interpolation with device-resident weights (``KNNIndex.weights_device``
     output): no weight readback/re-upload round trip — only the original
     snapshots go up and the interpolated result comes back.
 
     :param w_dev: ``[Q_pad, k]`` jnp.float32 normalized weights
     :param idx_dev: ``[Q_pad, k]`` jnp.int32 indices into ``data``'s rows
-    :param data: host ``[N_orig, C, S]`` snapshot matrix
+    :param data: ``[N_orig, C, S]`` snapshot matrix — host array, or a
+        jax Array already on device (``export.py`` device_puts it early so
+        the upload overlaps the weight-cache build; converting it back
+        through ``np.asarray`` here would force a full readback + re-upload
+        through the tunnel, serializing exactly what the overlap hides)
     :param n: number of real query rows (rows ``n:`` are padding)
+    :param timings: optional dict; accumulates ``t_kernel`` (dispatch +
+        device compute, incl. any pending upload the kernel waits on) and
+        ``t_readback`` (device→host transfer of the result) in seconds
     :return: ``[n, C, S]`` numpy float32
     """
-    data = jnp.asarray(np.asarray(data), dtype=jnp.float32)
+    from time import perf_counter
+    if not isinstance(data, jax.Array):
+        data = jnp.asarray(np.asarray(data), dtype=jnp.float32)
+    elif data.dtype != jnp.float32:
+        data = data.astype(jnp.float32)
     q_pad = w_dev.shape[0]
     if chunk_size is None:
         chunk_size = _auto_chunk(w_dev.shape[1], data.shape[1], data.shape[2])
-    chunk_size = max(256, 1 << int(int(chunk_size) - 1).bit_length() >> 1)
-    if q_pad <= chunk_size:
-        return np.asarray(_interp_chunk(w_dev, idx_dev, data))[:n]
+    chunk_size = max(256, 1 << (int(chunk_size).bit_length() - 1))
+    t0 = perf_counter()
     outs = [_interp_chunk(w_dev[lo:lo + chunk_size],
                           idx_dev[lo:lo + chunk_size], data)
-            for lo in range(0, q_pad, chunk_size)]
+            for lo in range(0, q_pad, chunk_size)] if q_pad > chunk_size \
+        else [_interp_chunk(w_dev, idx_dev, data)]
+    jax.block_until_ready(outs)
+    t1 = perf_counter()
     out = np.empty((q_pad,) + data.shape[1:], dtype=np.float32)
-    for i, o in enumerate(outs):
-        lo = i * chunk_size
+    lo = 0
+    for o in outs:
         out[lo:lo + o.shape[0]] = np.asarray(o)
+        lo += o.shape[0]
+    t2 = perf_counter()
+    if timings is not None:
+        timings["t_kernel"] = timings.get("t_kernel", 0.0) + (t1 - t0)
+        timings["t_readback"] = timings.get("t_readback", 0.0) + (t2 - t1)
     return out[:n]

@@ -472,6 +472,10 @@ class KNNIndex:
         self._pad_idx = self.n_points  # first pad row (always exists)
 
         self._grid = None
+        # exact-fallback row count of the most recent weights_device call
+        # (observability: a silent full scan here is invisible in wall time
+        # alone but dominates it)
+        self.last_fallback = 0
         if (self.n_points >= self.GRID_MIN_POINTS and self.n_dim in (2, 3)):
             self._build_grid(sorted_pts)
 
@@ -619,6 +623,10 @@ class KNNIndex:
         self._values = jnp.asarray(sorted_vals)  # device copy in sorted order
         self._values_host = values
         if self._grid is not None:
+            # drop any stale dilated values first: re-attaching multichannel
+            # values after scalar ones must not leave a scalar dil_vals that
+            # _grid_run would silently prefer
+            self._grid.pop("dil_vals", None)
             # blocked member values matching cell_pts (pad slots = 0; their
             # distances are +inf so they never rank into the top-k)
             cells, pos, order = self._grid_fill
@@ -799,6 +807,7 @@ class KNNIndex:
         use_grid = (self._grid is not None and n > 0
                     and k <= (3 ** self.n_dim) * self._grid["C"])
         if not use_grid:
+            self.last_fallback = n  # every query ran the full scan
             sq, idx = self._full_scan(queries, k, "query")
             dists = np.sqrt(np.maximum(sq, 0.0))
             w = 1.0 / np.clip(dists, 1e-12, None)
@@ -832,6 +841,7 @@ class KNNIndex:
             rows = i * chunk + np.nonzero(~okh[:max(hi - i * chunk, 0)])[0]
             bad_rows.append(rows)
         bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, int)
+        self.last_fallback = int(bad.size)  # exact-fallback row count
 
         sq_dev = (jnp.concatenate([p[0] for p in parts])
                   if len(parts) > 1 else parts[0][0])

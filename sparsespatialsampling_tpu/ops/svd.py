@@ -111,7 +111,8 @@ def economy_svd(a) -> tuple:
     with V the right singular vectors as columns (``V[:, i]``).
 
     Tall-skinny matrices (the S³ snapshot shape: many cells, few snapshots)
-    route through the host QR path (see :func:`_tall_skinny_svd`); squarish
+    route through the host Gram/snapshot path — f64 ``aᵀa`` + ``eigh`` + one
+    sgemm for the modes (see :func:`_tall_skinny_svd`); squarish
     ones use the XLA SVD with the row axis zero-padded to a power of two —
     appended zero rows change neither the singular values nor V, and bound
     the number of distinct compiled shapes across runs."""

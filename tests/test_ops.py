@@ -171,7 +171,7 @@ class TestSVDRank:
         np.testing.assert_allclose(s_r, s_e[:4], rtol=1e-3)
 
     def test_tall_skinny_path_matches_lapack(self):
-        """The QR-based tall-skinny path (m >= 8n and m >= 4096) must agree
+        """The Gram/snapshot tall-skinny path (m >= 8n, m >= 4096) must agree
         with a float64 LAPACK SVD across 4 decades of spectrum decay."""
         rng = np.random.default_rng(9)
         a = (rng.standard_normal((5000, 24))
