@@ -617,7 +617,9 @@ class SamplingTree:
         self._epoch_fn_ring = None
         if knn._grid is not None:
             g = knn._grid
-            if "dil_vals" in g:
+            # engine values (the metric) are scalar; guard anyway in case a
+            # caller re-attached multichannel values to the shared index
+            if "dil_vals" in g and g.get("dil_vals_nch", 1) == 1:
                 jit_grid = jax.jit(fn_grid_dil)
                 grid_args = common + (g["dil_pts"], g["dil_cand"],
                                       g["dil_ovf"], g["dil_vals"],
@@ -789,7 +791,7 @@ class SamplingTree:
         device call per sweep computes the children's gain + metric + validity
         (``_process_new_cells``) — matching the reference's per-sweep updates
         at one readback per sweep."""
-        logger.info("Starting uniform refinement.")
+        logger.info("Uniform refinement phase.")
         self._times["t_start_uniform"] = time()
         for j in range(self._min_level):
             leaves = self._alive_idx()
@@ -895,7 +897,7 @@ class SamplingTree:
 
     def refine(self) -> None:
         """Run the full grid generation (reference ``refine``, s_cube.py:563-667)."""
-        logger.info("Starting grid generation.")
+        logger.info("Generating the S^3 grid.")
         self._refine_uniform()
 
         iteration_count = 0
@@ -904,7 +906,7 @@ class SamplingTree:
             self._captured_metric()
         self._n_cells_log.append(int(self._alive.sum()))
 
-        logger.info("Starting metric-based refinement.")
+        logger.info("Adaptive (metric-driven) refinement phase.")
         self._times["t_start_adaptive"] = time()
 
         while self._check_stopping_criteria():
@@ -963,7 +965,7 @@ class SamplingTree:
         """Refine the grid near geometry surfaces level-by-level until the
         target level (reference ``_execute_geometry_refinement``,
         s_cube.py:774-863)."""
-        logger.info("Starting geometry refinement.")
+        logger.info("Geometry-surface refinement phase.")
         for gi in geometry_ids:
             g = self._geometry[gi]
             logger.info(f"Starting refining geometry {g.name}.")
@@ -1028,7 +1030,7 @@ class SamplingTree:
         reference's case analysis, ``s_cube.py:1193-1196``) — so a single
         ``np.unique`` replaces the reference's numba renumbering kernel
         (``renumber_node_indices_parallel``, s_cube.py:1695-1736)."""
-        logger.info("Starting renumbering final mesh.")
+        logger.info("Assembling the final mesh (node dedup + renumbering).")
         self._times["t_start_renumber"] = time()
 
         alive = self._alive_idx()

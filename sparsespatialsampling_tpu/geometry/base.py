@@ -99,23 +99,24 @@ class GeometryObject(ABC):
     # ------------------------------------------------------------------ #
     def _check_common_arguments(self) -> None:
         assert self._name != "", \
-            "Found empty string for the geometry object name. Please provide a name."
+            "Every geometry object needs a non-empty name."
         assert isinstance(self._keep_inside, bool), \
-            (f"Invalid type for argument keep_inside. Expected bool but "
-             f"{type(self._keep_inside)} was given.")
+            (f"keep_inside must be a bool (True = domain, False = obstacle); "
+             f"got {type(self._keep_inside)}.")
 
         # a provided min_refinement_level implies refine=True
         if not self._refine and self._min_refinement_level is not None:
             logger.warning(
-                f"Found value refine={self._refine} while a min_refinement_level of "
-                f"{self._min_refinement_level} was provided for geometry {self._name}. "
-                f"Changing refine from {self._refine} to refine=True.")
+                f"Geometry {self._name} sets min_refinement_level="
+                f"{self._min_refinement_level} but refine={self._refine}; a "
+                f"target level only makes sense with surface refinement, so "
+                f"refine is being switched on.")
             self._refine = True
 
         if self._refine and self._min_refinement_level is not None:
             assert self._min_refinement_level > 0, \
-                (f"Expected min_refinement_level > 0 but found "
-                 f"min_refinement_level={self._min_refinement_level}.")
+                (f"min_refinement_level must be a positive level count; got "
+                 f"{self._min_refinement_level}.")
 
     @property
     def keep_inside(self):

@@ -24,8 +24,8 @@ class GeometryCoordinates2D(GeometryObject):
         super().__init__(name, keep_inside, refine, min_refinement_level)
         coords = np.asarray(coordinates, dtype=np.float64)
         assert coords.ndim == 2 and coords.shape[1] == 2, \
-            (f"Expected coordinates of shape [N, 2] for geometry {name}, found "
-             f"{coords.shape}.")
+            (f"The polygon boundary of geometry {name} must be an [N, 2] "
+             f"array of 2D points; got shape {coords.shape}.")
         # close the polygon if needed
         if not np.allclose(coords[0], coords[-1]):
             coords = np.concatenate([coords, coords[:1]], axis=0)
@@ -64,8 +64,8 @@ class GeometryCoordinates2D(GeometryObject):
 
     def _check_geometry(self) -> None:
         assert np.allclose(self._coordinates[0], self._coordinates[-1]), \
-            (f"Expected an enclosed area formed by the provided coordinates for geometry "
-             f"{self.name}.")
+            (f"The polygon of geometry {self.name} is not closed: its first "
+             f"and last coordinate must coincide.")
 
     @property
     def type(self) -> str:

@@ -27,9 +27,9 @@ class CubeGeometry(GeometryObject):
 
     def mask_points(self, points):
         assert points.shape[-1] == len(self._lower_bound), \
-            (f"Number of dimensions of the cell does not match the number of given bounds. "
-             f"Expected {points.shape[-1]} values, found {len(self._lower_bound)} for "
-             f"geometry {self.name}.")
+            (f"Dimension mismatch for geometry {self.name}: the queried "
+             f"points are {points.shape[-1]}-D but the box bounds have "
+             f"{len(self._lower_bound)} components.")
         xp = array_namespace(points)
         inside = xp.logical_and(points >= self._lower, points <= self._upper)
         return inside.all(axis=-1)
@@ -39,19 +39,18 @@ class CubeGeometry(GeometryObject):
 
     def _check_geometry(self) -> None:
         assert self._lower_bound, \
-            "Found empty list for the lower bound. Please provide values for the lower bound."
+            "The box needs a lower corner — the lower-bound list is empty."
         assert self._upper_bound, \
-            "Found empty list for the upper bound. Please provide values for the upper bound."
+            "The box needs an upper corner — the upper-bound list is empty."
         assert len(self._lower_bound) == len(self._upper_bound), \
-            (f"The number of provided boundaries for the lower bound does not match the number "
-             f"of boundaries for the upper bound. Found {len(self._lower_bound)} values for the "
-             f"lower bound but {len(self._upper_bound)} values for the upper bound for geometry "
-             f"{self.name}.")
+            (f"Lower and upper corner of geometry {self.name} must have the "
+             f"same number of components; got {len(self._lower_bound)} vs "
+             f"{len(self._upper_bound)}.")
         for i, (lo, up) in enumerate(zip(self._lower_bound, self._upper_bound)):
             assert lo < up, \
-                (f"Value of {lo} for the lower bound at position {i} is larger or equal than the "
-                 f"value of {up} for the upper bound for geometry {self.name}. The lower bound "
-                 f"must be smaller than the upper bound!")
+                (f"Degenerate box for geometry {self.name}: along axis {i} "
+                 f"the lower bound {lo} is not strictly below the upper "
+                 f"bound {up}.")
 
     @property
     def type(self) -> str:

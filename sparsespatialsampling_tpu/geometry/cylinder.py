@@ -61,25 +61,29 @@ class CylinderGeometry3D(GeometryObject):
 
     def _check_geometry(self) -> None:
         assert len(self._position) > 0, \
-            "Found empty list for the position. Please provide values for the positions."
+            "The cylinder axis needs its two end points — the position list is empty."
         assert len(self._position) == 2, \
-            f"Expected exactly two entries for the position but found {len(self._position)} entries."
+            (f"The cylinder axis is defined by exactly 2 end points; "
+             f"{len(self._position)} were given.")
         assert list(self._position[0]) != list(self._position[1]), \
-            "Expected two different positions, a cylinder of length zero is invalid."
+            ("Both axis end points coincide — that would be a zero-length "
+             "cylinder. Give two distinct points.")
         assert isinstance(self._radius, (int, float, list, tuple)), \
-            (f"Expected the type of radius to be Union[int, float, list, tuple], got "
-             f"{type(self._radius)} for geometry {self.name} instead.")
+            (f"radius of geometry {self.name} must be a number (constant "
+             f"radius) or a 2-element list/tuple (cone); got "
+             f"{type(self._radius)}.")
         if isinstance(self._radius, (int, float)):
             assert self._radius > 0, \
-                f"Expected a radius larger than zero but found a value of {self._radius}."
+                f"radius must be positive; got {self._radius}."
         else:
             assert len(self._radius) == 2, \
-                f"Expected two values for the radii but found {len(self._radius)}."
+                (f"A conical frustum takes exactly 2 radii (one per axis end "
+                 f"point); got {len(self._radius)}.")
             assert self._radius[0] >= 0 and self._radius[1] >= 0, \
-                f"Expected all radii >= 0 but found values of {self._radius}."
+                f"Radii cannot be negative; got {self._radius}."
             assert not (self._radius[0] == 0 and self._radius[1] == 0), \
-                (f"Both values for the radii can't be zero. At least one radius has to be > 0 "
-                 f"but found values of {self._radius}.")
+                (f"At least one of the two radii must be positive (both zero "
+                 f"would make an empty cone); got {self._radius}.")
 
     @property
     def type(self) -> str:

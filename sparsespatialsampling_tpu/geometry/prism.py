@@ -62,12 +62,12 @@ class PrismGeometry3D(GeometryObject):
 
     def _check_geometry(self) -> None:
         assert len(self._positions) > 0, \
-            "Found empty list for the positions. Please provide values for the prism."
+            "The prism needs its two triangular faces — the positions list is empty."
         assert len(self._positions) == 2, \
-            (f"Expected exactly two triangles for the prism but found "
-             f"{len(self._positions)} entries.")
+            (f"A prism is defined by exactly 2 triangles (its end faces); "
+             f"{len(self._positions)} entries were given.")
         assert all(len(tri) == 3 for tri in self._positions), \
-            "Each triangle must have exactly 3 vertices."
+            "Both prism faces need exactly 3 corner points each."
 
     @property
     def type(self) -> str:

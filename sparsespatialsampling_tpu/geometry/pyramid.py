@@ -90,11 +90,11 @@ class PyramidGeometry3D(GeometryObject):
              f"vertices.")
         for i, v in enumerate(self._nodes):
             assert isinstance(v, (list, tuple, np.ndarray)), \
-                (f"Expected each vertex to be of type list or tuple but found type {type(v)} "
-                 f"for vertex no. {i}.")
+                (f"Vertex no. {i} must be a list/tuple/array of coordinates; "
+                 f"got {type(v)}.")
             assert len(v) == 3, \
-                (f"Expected each vertex to have exactly 3 components but found {len(v)} "
-                 f"components for entry {i}.")
+                (f"Vertex no. {i} needs 3 coordinate components (x, y, z); "
+                 f"got {len(v)}.")
 
     @property
     def type(self) -> str:

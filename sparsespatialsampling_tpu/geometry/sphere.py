@@ -24,9 +24,9 @@ class SphereGeometry(GeometryObject):
 
     def mask_points(self, points):
         assert points.shape[-1] == len(self._position), \
-            (f"Number of dimensions of the cell does not match the number of dimensions for "
-             f"the position. Expected {points.shape[-1]} values, found {len(self._position)} "
-             f"for geometry {self.name}.")
+            (f"Dimension mismatch for geometry {self.name}: the queried "
+             f"points are {points.shape[-1]}-D but the sphere center has "
+             f"{len(self._position)} components.")
         delta = points - self._center
         return (delta * delta).sum(axis=-1) <= self._radius ** 2
 
@@ -35,12 +35,12 @@ class SphereGeometry(GeometryObject):
 
     def _check_geometry(self) -> None:
         assert self._position, \
-            "Found empty list for the position. Please provide values for the position."
+            "The sphere needs its center coordinates — the position list is empty."
         assert isinstance(self._radius, (int, float)), \
-            (f"Expected the type of radius to be Union[int, float], got {type(self._radius)} "
-             f"for geometry {self.name} instead.")
+            (f"radius of geometry {self.name} must be a plain number; got "
+             f"{type(self._radius)}.")
         assert self._radius > 0, \
-            f"Expected a radius larger than zero but found a value of {self._radius}."
+            f"radius must be positive; got {self._radius}."
 
     @property
     def type(self) -> str:

@@ -24,7 +24,7 @@ class TetrahedronGeometry3D(GeometryObject):
         # volume check: v = 1/6 |det([positions, 1])|
         mat = np.concatenate([self._positions, np.ones((4, 1))], axis=1)
         assert abs(np.linalg.det(mat) / 6.0) > 0, \
-            "The tetrahedron provided has a volume of zero."
+            "Degenerate tetrahedron: the 4 vertices are coplanar (zero volume)."
 
         self._normals = self._compute_normals()
         self._main_width = self._compute_main_width()
@@ -60,8 +60,8 @@ class TetrahedronGeometry3D(GeometryObject):
 
     def _check_geometry(self) -> None:
         assert self._positions.shape == (4, 3), \
-            (f"Expected 4 vertices with 3 components each for the tetrahedron, found shape "
-             f"{self._positions.shape}.")
+            (f"A tetrahedron takes 4 vertices of 3 components each, i.e. "
+             f"shape (4, 3); got {self._positions.shape}.")
 
     @property
     def type(self) -> str:

@@ -47,13 +47,12 @@ class TriangleGeometry(GeometryObject):
 
     def _check_geometry(self) -> None:
         assert isinstance(self._points, (list, tuple, np.ndarray)), \
-            (f"Expected the points to be a list or array, but found type "
-             f"{type(self._points)} instead.")
+            (f"The triangle corners must be given as a list/tuple/array; got "
+             f"{type(self._points)}.")
         assert len(self._points) == 3, \
-            f"Expected 3 points, but found {len(self._points)} points instead."
+            f"A triangle takes exactly 3 corner points; got {len(self._points)}."
         assert all(len(p) == 2 for p in self._points), \
-            ("All given coordinates have to contain exactly 2 entries with the x- and "
-             "y-coordinates.")
+            "Each triangle corner needs exactly 2 components (x and y)."
         a = self._points[1] - self._points[0]
         b = self._points[2] - self._points[0]
         area = 0.5 * abs(a[0] * b[1] - a[1] * b[0])

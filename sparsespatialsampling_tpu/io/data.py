@@ -259,7 +259,8 @@ class Datawriter:
             try:
                 self._data.create_dataset(name, data=data)
             except ValueError:
-                logger.warning(f"Field {name} already exists in the HDF file. Skipping field {name}.")
+                logger.warning(f"Dataset {name} is already present in this time step "
+                               f"of the HDF5 file — leaving it untouched.")
 
         elif group == CONST:
             if self._const is None:
@@ -269,7 +270,8 @@ class Datawriter:
             try:
                 self._const.create_dataset(name, data=data)
             except ValueError:
-                logger.warning(f"Field {name} already exists. Skipping field {name}.")
+                logger.warning(f"Constant dataset {name} is already present in the "
+                               f"HDF5 file — leaving it untouched.")
 
         elif group == GRID:
             if self._grid is None:

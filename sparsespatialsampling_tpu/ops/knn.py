@@ -53,11 +53,19 @@ def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
     n = points.shape[0]
     n_tiles = n // tile_n
     points_t = points.T  # [d, N]
+    # select k+slack by the fast expansion-form score, then re-rank the
+    # widened set by the plain delta-sum distance: the expansion form
+    # |p|^2 - 2 q.p rounds ~1e-6 worse than the direct form, and near-ties
+    # below that error flipped the k-boundary selection between this path
+    # and the bucket-grid kernels (which use the same recipe) — with both
+    # paths ranking by the identical plain-f32 distance of identical f32
+    # inputs, grid and full scan are bitwise identical even at ties
+    kk = min(k + 8, n)
     # candidate-buffer strategy: collect each tile's local top-k and merge
     # ONCE at the end (1 top_k per tile instead of 2) while the buffer
-    # [tile_q, n_tiles·k] stays small; fall back to a running merge for
+    # [tile_q, n_tiles·kk] stays small; fall back to a running merge for
     # clouds with many tiles
-    collect = n_tiles * k <= 8192
+    collect = n_tiles * kk <= 8192
 
     def tile_topk(q, tile_idx):
         p_t = jax.lax.dynamic_slice_in_dim(points_t, tile_idx * tile_n, tile_n, axis=1)
@@ -65,7 +73,7 @@ def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
         # ranking score: |p|^2 - 2 q.p  (monotone in true distance per query)
         scores = p_sq[None, :] - 2.0 * jnp.dot(q, p_t, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
-        top_s, top_i = jax.lax.top_k(-scores, k)  # [tile_q, k]
+        top_s, top_i = jax.lax.top_k(-scores, kk)  # [tile_q, kk]
         return top_s, top_i + tile_idx * tile_n
 
     def per_q_chunk(q):
@@ -77,7 +85,7 @@ def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
             # [n_tiles, tile_q, k] → [tile_q, n_tiles*k] → final top-k
             all_s = jnp.moveaxis(all_s, 0, 1).reshape(q.shape[0], -1)
             all_i = jnp.moveaxis(all_i, 0, 1).reshape(q.shape[0], -1)
-            best_scores, sel = jax.lax.top_k(all_s, k)
+            best_scores, sel = jax.lax.top_k(all_s, kk)
             best_idx = jnp.take_along_axis(all_i, sel, axis=1)
         else:
             def scan_tile(carry, tile_idx):
@@ -85,20 +93,22 @@ def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
                 top_s, top_i = tile_topk(q, tile_idx)
                 merged_s = jnp.concatenate([best_scores, top_s], axis=1)
                 merged_i = jnp.concatenate([best_idx, top_i], axis=1)
-                new_s, sel = jax.lax.top_k(merged_s, k)
+                new_s, sel = jax.lax.top_k(merged_s, kk)
                 new_i = jnp.take_along_axis(merged_i, sel, axis=1)
                 return (new_s, new_i), None
 
-            init = (jnp.full((q.shape[0], k), -jnp.inf, dtype=jnp.float32),
-                    jnp.zeros((q.shape[0], k), dtype=jnp.int32))
+            init = (jnp.full((q.shape[0], kk), -jnp.inf, dtype=jnp.float32),
+                    jnp.zeros((q.shape[0], kk), dtype=jnp.int32))
             (best_scores, best_idx), _ = jax.lax.scan(
                 scan_tile, init, jnp.arange(n_tiles, dtype=jnp.int32))
 
-        # exact distances for the selected neighbors (stable formulation)
-        nb = points[best_idx]  # [tile_q, k, d]
+        # exact distances for the widened candidate set (stable
+        # formulation), canonical (sq, idx) re-rank, keep k
+        nb = points[best_idx]  # [tile_q, kk, d]
         delta = q[:, None, :] - nb
         sq = jnp.sum(delta * delta, axis=-1)
-        return _sort_neighbors(sq, best_idx)
+        sq, best_idx = _sort_neighbors(sq, best_idx)
+        return sq[:, :k], best_idx[:, :k]
 
     qq = queries.reshape(-1, tile_q, queries.shape[-1])
     sq, idx = jax.lax.map(per_q_chunk, qq)
@@ -345,16 +355,23 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
                              (((2,), (0,)), ((), ())),
                              precision=jax.lax.Precision.HIGHEST)
     d2 = d2.reshape(q, -1)                               # [Q, 3^d·C]
-    top_s, sel = jax.lax.top_k(-d2, k)
-    # recompute the selected distances with the plain delta-sum — the SAME
-    # f32 rounding as the blocked and full-scan paths, so downstream IDW
-    # and acceptance are path-independent (the matmul form rounds one ulp
-    # differently, which was enough to flip refinement tie-breaks)
+    # select k+slack by the matmul-form d2, then recompute plain delta-sum
+    # distances and re-rank canonically: the matmul form rounds a few ulps
+    # differently from the blocked/full-scan paths, which was enough to
+    # flip the k-boundary selection on near-ties — the slack makes the
+    # final top-k agree with the plain-f32 ranking unless the rounding
+    # error exceeds 8 ranks (never, at ulp scale)
+    kk = min(k + 8, d2.shape[1])
+    _, sel = jax.lax.top_k(-d2, kk)                      # [Q, kk]
     sel_pts = jnp.take_along_axis(gathered.reshape(q, -1, d),
-                                  sel[..., None], axis=1)  # [Q, k, d]
+                                  sel[..., None], axis=1)  # [Q, kk, d]
     dd = queries[:, None, :] - sel_pts
     sq = jnp.sum(dd * dd, axis=-1)
     idx = jnp.take_along_axis(dil_cand[flat], sel, axis=1)
+    # canonical ascending (sq, idx) order over the widened set, keep k —
+    # output is already in `_sort_neighbors` order
+    sq, idx, sel = jax.lax.sort((sq, idx, sel), dimension=1, num_keys=2)
+    sq, idx, sel = sq[:, :k], idx[:, :k], sel[:, :k]
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, dil_ovf[flat], sq.max(axis=1),
                                     origin, inv_h))
@@ -366,7 +383,6 @@ def _grid_query_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, origin,
                            inv_h, dims, smat, k):
     sq, idx, _, ok, _ = _dilated_topk(queries, dil_pts, dil_cand, dil_ovf,
                                       origin, inv_h, dims, smat, k)
-    sq, idx = _sort_neighbors(sq, idx)
     return sq, idx, ok
 
 
@@ -376,10 +392,27 @@ def _grid_predict_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, dil_vals,
     sq, idx, sel, ok, flat = _dilated_topk(queries, dil_pts, dil_cand,
                                            dil_ovf, origin, inv_h, dims,
                                            smat, k)
-    sq, idx, sel = _sort_neighbors(sq, idx, sel)
     w = _idw(sq)
     vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
     pred = jnp.einsum("qk,qk->q", w, vals)
+    return pred, ok
+
+
+@partial(jax.jit, static_argnames=("k", "n_ch"))
+def _grid_predict_kernel_dil_vec(queries, dil_pts, dil_cand, dil_ovf,
+                                 dil_vals, origin, inv_h, dims, smat, k,
+                                 n_ch):
+    """Multi-channel variant: ``dil_vals [n_cells+1, 3^d·C·n_ch]`` holds the
+    channel-flattened neighborhood values; one gather slice per query, then
+    a ``qk,qkc->qc`` contraction."""
+    sq, idx, sel, ok, flat = _dilated_topk(queries, dil_pts, dil_cand,
+                                           dil_ovf, origin, inv_h, dims,
+                                           smat, k)
+    w = _idw(sq)
+    q = queries.shape[0]
+    vals_blk = dil_vals[flat].reshape(q, -1, n_ch)        # [Q, 3^d·C, n_ch]
+    vals = jnp.take_along_axis(vals_blk, sel[..., None], axis=1)
+    pred = jnp.einsum("qk,qkc->qc", w, vals)
     return pred, ok
 
 
@@ -627,6 +660,7 @@ class KNNIndex:
             # values after scalar ones must not leave a scalar dil_vals that
             # _grid_run would silently prefer
             self._grid.pop("dil_vals", None)
+            self._grid.pop("dil_vals_nch", None)
             # blocked member values matching cell_pts (pad slots = 0; their
             # distances are +inf so they never rank into the top-k)
             cells, pos, order = self._grid_fill
@@ -635,9 +669,16 @@ class KNNIndex:
                                  dtype=np.float32)
             cell_vals[cells, pos] = sorted_vals[order]
             self._grid["cell_vals"] = jnp.asarray(cell_vals)
-            if "_nb" in self._grid and values.ndim == 1:
-                self._grid["dil_vals"] = _dilate(self._grid["cell_vals"],
-                                                 self._grid["_nb"])
+            if "_nb" in self._grid:
+                n_ch = 1 if values.ndim == 1 else values.shape[1]
+                flat_vals = (self._grid["cell_vals"] if values.ndim == 1
+                             else self._grid["cell_vals"].reshape(
+                                 cell_vals.shape[0], -1))
+                # the dilated copy is 3^d x the blocked one — gate by size
+                if flat_vals.size * (3 ** self.n_dim) * 4 <= 1.5e9:
+                    self._grid["dil_vals"] = _dilate(flat_vals,
+                                                     self._grid["_nb"])
+                    self._grid["dil_vals_nch"] = n_ch
 
     def _run_chunked(self, kernel_args_fn, queries):
         """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows.
@@ -708,7 +749,13 @@ class KNNIndex:
             qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
             qarr[:n] = chunk
             if mode == "predict":
-                if "dil_vals" in g:
+                if "dil_vals" in g and g.get("dil_vals_nch", 1) > 1:
+                    fut = _grid_predict_kernel_dil_vec(
+                        jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
+                        g["dil_ovf"], g["dil_vals"], g["origin"],
+                        g["inv_h"], g["dims"], g["smat"], k,
+                        g["dil_vals_nch"])
+                elif "dil_vals" in g:
                     fut = _grid_predict_kernel_dil(
                         jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
                         g["dil_ovf"], g["dil_vals"], g["origin"],

@@ -263,7 +263,8 @@ def load_original_Foam_fields(load_dir: str, n_dimensions: int, boundaries: list
         try:
             first = np.asarray(loader.load_snapshot(field, write_times[0]))
         except ValueError:
-            logger.warning(f"Field '{field}' is not available. Skipping field {field}.")
+            logger.warning(f"No data found for field '{field}' — it will not be "
+                           f"exported.")
             continue
 
         try:
@@ -277,8 +278,8 @@ def load_original_Foam_fields(load_dir: str, n_dimensions: int, boundaries: list
                 for i, t in enumerate(write_times):
                     data[:, :, i] = np.asarray(loader.load_snapshot(field, t))[mask]
         except (RuntimeError, IndexError):
-            logger.warning(f"Field '{field}' does not match the size of the masked domain. "
-                           f"Skipping field {field}.")
+            logger.warning(f"Field '{field}' has a different size than the masked "
+                           f"domain — it will not be exported.")
             continue
 
         fields_out.append([coord, data])
