@@ -37,8 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.knn import (KNNIndex, _search, _idw, _grid_neighborhood,
-                       _sort_neighbors, _dilated_topk,
-                       _overflow_contaminated)
+                       _sort_neighbors, _dilated_topk, _dilated_select,
+                       _grid_query_margin, _overflow_contaminated)
 from ..ops import morton
 
 logger = logging.getLogger(__name__)
@@ -477,10 +477,70 @@ class SamplingTree:
         args = self._epoch_common_args() + (knn._points, knn._points_sq,
                                             jnp.asarray(values_pad))
         self._epoch_fn = lambda c, l: jit_fn(c, l, *args)
-        # exact full scan already — no grid fast path, so no retry variant
+        # the full scan is exact — it doubles as the retry target for the
+        # grid fast path below
         self._epoch_fn_full = self._epoch_fn
         self._epoch_fn_full_small = self._epoch_fn
         self._epoch_fn_ring = None
+
+        g = getattr(knn, "_grid", None)
+        if g is None or "dil_vals" not in g:
+            return
+
+        # row-sharded dilated bucket grid (``parallel/knn.py``): every
+        # dilated row is self-contained, so each device owns a contiguous
+        # flat-cell-id range and answers exactly the queries whose home cell
+        # it owns; non-owned lanes read a single hot local row (cheap) and
+        # are masked out of the one psum that combines the per-owner
+        # results.  Memory scales with the mesh; exactness verification and
+        # the full-scan retry are identical to the single-chip grid path.
+        rows_per_dev = g["rows"] // knn.n_shards
+        n_sentinel = g["n_cells"]
+        n_children = 1 + 2 ** d
+
+        def grid_local(qflat, dil_pts, dil_cand, dil_ovf, dil_vals,
+                       origin, inv_h, dims, smat):
+            me = jax.lax.axis_index(CELL_AXIS)
+            flat, margin_sq = _grid_query_margin(qflat, origin, inv_h,
+                                                 dims, n_sentinel)
+            own = (flat // rows_per_dev) == me
+            lflat = jnp.where(own, flat - me * rows_per_dev, 0)
+            sq, idx, sel = _dilated_select(qflat, dil_pts, dil_cand,
+                                           lflat, smat, k)
+            vals = jnp.take_along_axis(dil_vals[lflat], sel, axis=1)
+            okq = own & (sq.max(axis=1) <= margin_sq) \
+                & ~_overflow_contaminated(qflat, dil_ovf[lflat],
+                                          sq.max(axis=1), origin, inv_h)
+            ownf = own[:, None].astype(sq.dtype)
+            # exactly one owner per query → the psum reconstructs the
+            # owner's values bitwise (adding exact zeros)
+            sq = jax.lax.psum(sq * ownf, CELL_AXIS)
+            vals = jax.lax.psum(vals * ownf, CELL_AXIS)
+            ok = jax.lax.psum(okq.astype(jnp.int32), CELL_AXIS) > 0
+            return sq, vals, ok
+
+        grid_sharded = shard_map(
+            grid_local, mesh=self._mesh,
+            in_specs=(P(), P(CELL_AXIS), P(CELL_AXIS), P(CELL_AXIS),
+                      P(CELL_AXIS), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()), check_vma=False)
+
+        def fn_grid(coords, level, lo, width, gain0, dirs, offsets, shift,
+                    dil_pts, dil_cand, dil_ovf, dil_vals, origin, inv_h,
+                    dims, smat):
+            qflat = query_centers(coords, level, lo, width, dirs, shift)
+            sq, vals, ok = grid_sharded(qflat, dil_pts, dil_cand, dil_ovf,
+                                        dil_vals, origin, inv_h, dims, smat)
+            pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
+            bad = (~ok).reshape(-1, n_children).any(axis=1)
+            return geometry_and_gain(coords, level, lo, width, gain0, dirs,
+                                     offsets, pred, bad)
+
+        jit_grid = jax.jit(fn_grid)
+        grid_args = self._epoch_common_args() + (
+            g["dil_pts"], g["dil_cand"], g["dil_ovf"], g["dil_vals"],
+            g["origin"], g["inv_h"], g["dims"], g["smat"])
+        self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
 
     def _build_epoch_fn(self):
         """Build the fused epoch kernel(s): metric prediction at own + child

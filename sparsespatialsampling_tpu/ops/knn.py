@@ -335,19 +335,15 @@ def _grid_query_margin(queries, origin, inv_h, dims, n_sentinel):
     return jnp.where(inside, flat, n_sentinel), margin_sq
 
 
-def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
-                  smat, k):
-    """Candidate search on the dilated layout: ONE gather slice per query,
-    squared distances via an MXU group-sum matmul, then top-k.
-
-    Returns ``(sq [Q, k], idx [Q, k], sel [Q, k], ok [Q], flat [Q])`` with
-    ``sel`` the position in the flattened candidate axis (for value
-    gathers)."""
+def _dilated_select(queries, dil_pts, dil_cand, flat, smat, k):
+    """Candidate scoring + canonical top-k on the dilated rows ``flat``
+    (the core of :func:`_dilated_topk`, reusable with externally computed —
+    e.g. shard-local — row ids).  Returns ``(sq [Q, k], idx [Q, k],
+    sel [Q, k])`` in canonical ascending ``(sq, idx)`` order, with ``sel``
+    the position in the flattened candidate axis (for value gathers)."""
     q = queries.shape[0]
     d = queries.shape[1]
     cd = smat.shape[0]                                   # C·d
-    flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
-                                         dil_pts.shape[0] - 1)
     gathered = dil_pts[flat].reshape(q, -1, cd)          # [Q, 3^d, C·d]
     qrep = jnp.tile(queries, (1, smat.shape[1]))         # [Q, C·d]
     delta = gathered - qrep[:, None, :]
@@ -371,7 +367,19 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
     # canonical ascending (sq, idx) order over the widened set, keep k —
     # output is already in `_sort_neighbors` order
     sq, idx, sel = jax.lax.sort((sq, idx, sel), dimension=1, num_keys=2)
-    sq, idx, sel = sq[:, :k], idx[:, :k], sel[:, :k]
+    return sq[:, :k], idx[:, :k], sel[:, :k]
+
+
+def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
+                  smat, k):
+    """Candidate search on the dilated layout: ONE gather slice per query,
+    squared distances via an MXU group-sum matmul, then top-k.
+
+    Returns ``(sq [Q, k], idx [Q, k], sel [Q, k], ok [Q], flat [Q])`` in
+    canonical ascending ``(sq, idx)`` order."""
+    flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
+                                         dil_pts.shape[0] - 1)
+    sq, idx, sel = _dilated_select(queries, dil_pts, dil_cand, flat, smat, k)
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, dil_ovf[flat], sq.max(axis=1),
                                     origin, inv_h))
@@ -414,6 +422,111 @@ def _grid_predict_kernel_dil_vec(queries, dil_pts, dil_cand, dil_ovf,
     vals = jnp.take_along_axis(vals_blk, sel[..., None], axis=1)
     pred = jnp.einsum("qk,qkc->qc", w, vals)
     return pred, ok
+
+
+def _plan_grid(points: np.ndarray, n_points: int, pad_idx: int,
+               occupancy: int, capacity: int) -> dict:
+    """Host-side bucket-grid plan over a (centered) point cloud.
+
+    Chooses the cell size ``h`` (≈ (occupancy/density)^(1/d), grown to a
+    ~8·N storage cap, then shrunk until no cell exceeds 32 members when the
+    budget allows — overflow cells sit exactly where refinement clusters and
+    force exact fallbacks every iteration), then builds the blocked member
+    layout.  Returns numpy arrays only; callers device-put them with
+    whatever sharding fits (single chip: replicated; multi-chip: cell rows
+    sharded over the mesh).  Member indices reference ``points``' row order.
+    """
+    d = points.shape[1]
+    lo = points.min(axis=0)
+    hi = points.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-30)
+    density = n_points / float(np.prod(extent))
+    h = (occupancy / density) ** (1.0 / d)
+
+    def build_cells(h_val):
+        dims_v = np.maximum(np.ceil(extent / h_val).astype(np.int64), 1)
+        cc = np.clip(((points - lo) / h_val).astype(np.int64), 0,
+                     dims_v - 1)
+        flat_v = cc[:, 0]
+        for ax in range(1, d):
+            flat_v = flat_v * dims_v[ax] + cc[:, ax]
+        counts_v = np.bincount(flat_v, minlength=int(np.prod(dims_v)))
+        return dims_v, flat_v, counts_v
+
+    def storage_ok(h_val):
+        dims_v = np.maximum(np.ceil(extent / h_val).astype(np.int64), 1)
+        return np.prod(dims_v) * capacity <= 8 * n_points + 4096
+
+    # cap the total cell count at ~4 points of storage per point
+    while not storage_ok(h):
+        h *= 1.26
+    dims, flat, counts = build_cells(h)
+    for _ in range(6):
+        if counts.max() <= 32 or not storage_ok(h / 1.15):
+            break
+        h /= 1.15
+        dims, flat, counts = build_cells(h)
+    n_cells = int(np.prod(dims))
+
+    order = np.argsort(flat, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_cell = np.arange(n_points) - starts[flat[order]]
+
+    # capacity: the pow2 covering the realized max occupancy when that
+    # fits (zero overflow), else the 99.9th percentile with the rest
+    # overflowing into the exact fallback. Both hot kernel stages scale
+    # with the 3^d·C candidate width, so keep C tight.
+    maxc = int(counts.max())
+    if maxc <= capacity:
+        C = max(16, 1 << int(max(maxc, 2) - 1).bit_length())
+    else:
+        occupied = counts[counts > 0]
+        c999 = int(np.percentile(occupied, 99.9)) if occupied.size else 1
+        C = 1 << int(max(c999, 2, occupancy) - 1).bit_length()
+        C = int(min(capacity, max(16, C)))
+    cell_list = np.full((n_cells + 1, C), pad_idx, dtype=np.int32)
+    keep = pos_in_cell < C
+    cell_list[flat[order][keep], pos_in_cell[keep]] = order[keep].astype(np.int32)
+    overflow = np.zeros(n_cells + 1, dtype=bool)
+    overflow[:n_cells] = counts > C
+
+    # blocked member coordinates [n_cells+1, C, d]: the query kernels
+    # gather one contiguous C·d·4-byte slab per neighborhood cell instead
+    # of C pointwise 12-byte lookups (the pointwise gather was ~90 % of
+    # the kernel wall time on TPU); pad slots hold 1e15 so squared
+    # distances stay finite (~3e30) yet never rank into any top-k
+    cell_pts = np.full((n_cells + 1, C, d), 1e15, dtype=np.float32)
+    cell_pts[flat[order][keep], pos_in_cell[keep]] = \
+        points[order[keep]].astype(np.float32)
+
+    return {"h": float(h), "C": C, "n_cells": n_cells, "origin": lo,
+            "dims": dims, "cell_list": cell_list, "overflow": overflow,
+            "cell_pts": cell_pts,
+            "fill": (flat[order][keep], pos_in_cell[keep], order[keep])}
+
+
+def _grid_neighbor_table(dims: np.ndarray, n_cells: int) -> np.ndarray:
+    """``[n_cells+1, 3^d]`` int32: each cell's 3^d neighborhood as flat cell
+    ids (out-of-range and the sentinel row map to the sentinel ``n_cells``)."""
+    d = len(dims)
+    coords = np.stack(np.unravel_index(np.arange(n_cells), dims), axis=1)
+    nb = coords[:, None, :] + _neighbor_offsets(d)[None, :, :]
+    valid = np.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)
+    flat_nb = nb[..., 0]
+    for ax in range(1, d):
+        flat_nb = flat_nb * dims[ax] + nb[..., ax]
+    flat_nb = np.where(valid, flat_nb, n_cells).astype(np.int32)
+    return np.concatenate(
+        [flat_nb, np.full((1, 3 ** d), n_cells, np.int32)])
+
+
+def _group_sum_matrix(C: int, d: int) -> np.ndarray:
+    """``[C·d, C]`` selector reducing (C·d)-flattened squared deltas to
+    per-candidate squared distances on the MXU."""
+    smat = np.zeros((C * d, C), dtype=np.float32)
+    for c in range(C):
+        smat[c * d:(c + 1) * d, c] = 1.0
+    return smat
 
 
 @jax.jit
@@ -523,119 +636,38 @@ class KNNIndex:
         3^d neighborhood whenever d_k ≤ h — verified per query, with a
         full-scan fallback for the rest (overflowing cells, sparse regions,
         out-of-bbox queries)."""
-        d = self.n_dim
-        lo = sorted_pts.min(axis=0)
-        hi = sorted_pts.max(axis=0)
-        extent = np.maximum(hi - lo, 1e-30)
-        density = self.n_points / float(np.prod(extent))
-        h = (self.GRID_OCCUPANCY / density) ** (1.0 / d)
-
-        def build_cells(h_val):
-            dims_v = np.maximum(np.ceil(extent / h_val).astype(np.int64), 1)
-            cc = np.clip(((sorted_pts - lo) / h_val).astype(np.int64), 0,
-                         dims_v - 1)
-            flat_v = cc[:, 0]
-            for ax in range(1, d):
-                flat_v = flat_v * dims_v[ax] + cc[:, ax]
-            counts_v = np.bincount(flat_v, minlength=int(np.prod(dims_v)))
-            return dims_v, flat_v, counts_v
-
-        def storage_ok(h_val):
-            dims_v = np.maximum(np.ceil(extent / h_val).astype(np.int64), 1)
-            return (np.prod(dims_v) * self.GRID_CAPACITY
-                    <= 8 * self.n_points + 4096)
-
-        # cap the total cell count at ~4 points of storage per point
-        while not storage_ok(h):
-            h *= 1.26
-        dims, flat, counts = build_cells(h)
-        # then SHRINK h until no cell exceeds 32 members (when the storage
-        # budget allows): the handful of Poisson-tail overflow cells a
-        # uniform cloud produces otherwise sit exactly where refinement
-        # clusters, forcing a verified exact fallback every iteration.
-        # Heavily clustered clouds stop at the budget and keep overflow
-        # cells + the fallback.
-        for _ in range(6):
-            if counts.max() <= 32 or not storage_ok(h / 1.15):
-                break
-            h /= 1.15
-            dims, flat, counts = build_cells(h)
-        n_cells = int(np.prod(dims))
-
-        order = np.argsort(flat, kind="stable")
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos_in_cell = np.arange(self.n_points) - starts[flat[order]]
-
-        # capacity: the pow2 covering the realized max occupancy when that
-        # fits (zero overflow), else the 99.9th percentile with the rest
-        # overflowing into the exact fallback. Both hot kernel stages scale
-        # with the 3^d·C candidate width, so keep C tight.
-        maxc = int(counts.max())
-        if maxc <= self.GRID_CAPACITY:
-            C = max(16, 1 << int(max(maxc, 2) - 1).bit_length())
-        else:
-            occupied = counts[counts > 0]
-            c999 = int(np.percentile(occupied, 99.9)) if occupied.size else 1
-            C = 1 << int(max(c999, 2, self.GRID_OCCUPANCY) - 1).bit_length()
-            C = int(min(self.GRID_CAPACITY, max(16, C)))
-        cell_list = np.full((n_cells + 1, C), self._pad_idx, dtype=np.int32)
-        keep = pos_in_cell < C
-        cell_list[flat[order][keep], pos_in_cell[keep]] = order[keep].astype(np.int32)
-        overflow = np.zeros(n_cells + 1, dtype=bool)
-        overflow[:n_cells] = counts > C
-
-        # blocked member coordinates [n_cells+1, C, d]: the query kernels
-        # gather one contiguous C·d·4-byte slab per neighborhood cell instead
-        # of C pointwise 12-byte lookups (the pointwise gather was ~90 % of
-        # the kernel wall time on TPU); pad slots hold 1e15 so squared
-        # distances stay finite (~3e30) yet never rank into any top-k
-        cell_pts = np.full((n_cells + 1, C, d), 1e15, dtype=np.float32)
-        cell_pts[flat[order][keep], pos_in_cell[keep]] = \
-            sorted_pts[order[keep]].astype(np.float32)
-
+        plan = _plan_grid(sorted_pts, self.n_points, self._pad_idx,
+                          self.GRID_OCCUPANCY, self.GRID_CAPACITY)
         self._grid = {
-            "h": float(h),
-            "C": C,
-            "origin": jnp.asarray(lo, dtype=jnp.float32),
-            "inv_h": jnp.float32(1.0 / h),
-            "dims": jnp.asarray(dims, dtype=jnp.int32),
-            "cell_list": jnp.asarray(cell_list),
-            "overflow": jnp.asarray(overflow),
-            "cell_pts": jnp.asarray(cell_pts),
+            "h": plan["h"],
+            "C": plan["C"],
+            "origin": jnp.asarray(plan["origin"], dtype=jnp.float32),
+            "inv_h": jnp.float32(1.0 / plan["h"]),
+            "dims": jnp.asarray(plan["dims"], dtype=jnp.int32),
+            "cell_list": jnp.asarray(plan["cell_list"]),
+            "overflow": jnp.asarray(plan["overflow"]),
+            "cell_pts": jnp.asarray(plan["cell_pts"]),
         }
         # host copies for the lazy cell_vals build in set_values
-        self._grid_fill = (flat[order][keep], pos_in_cell[keep], order[keep])
+        self._grid_fill = plan["fill"]
 
         # dilated fast path: each cell additionally stores its whole 3^d
         # neighborhood contiguously, so a query gathers ONE slice instead of
         # 3^d — measured ~4x better effective gather bandwidth on the v5e.
         # Memory is (3^d)x the blocked layout, so gate by size.
-        n_nb = 3 ** d
-        dil_bytes = (n_cells + 1) * n_nb * C * (d + 2) * 4
+        d = self.n_dim
+        C = plan["C"]
+        n_cells = plan["n_cells"]
+        dil_bytes = (n_cells + 1) * (3 ** d) * C * (d + 2) * 4
         if dil_bytes <= 1.5e9:
-            coords = np.stack(np.unravel_index(np.arange(n_cells), dims),
-                              axis=1)
-            nb = coords[:, None, :] + _neighbor_offsets(d)[None, :, :]
-            valid = np.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)
-            flat_nb = nb[..., 0]
-            for ax in range(1, d):
-                flat_nb = flat_nb * dims[ax] + nb[..., ax]
-            flat_nb = np.where(valid, flat_nb, n_cells).astype(np.int32)
-            flat_nb = np.concatenate(
-                [flat_nb, np.full((1, n_nb), n_cells, np.int32)])
-            nb_dev = jnp.asarray(flat_nb)
+            nb_dev = jnp.asarray(_grid_neighbor_table(plan["dims"], n_cells))
             self._grid["_nb"] = nb_dev
             g = self._grid
             self._grid["dil_pts"] = _dilate(
                 g["cell_pts"].reshape(n_cells + 1, C * d), nb_dev)
             self._grid["dil_cand"] = _dilate(g["cell_list"], nb_dev)
             self._grid["dil_ovf"] = _dilate_flags(g["overflow"], nb_dev)
-            # group-sum matrix reducing (C·d)-flattened squared deltas to
-            # per-candidate squared distances on the MXU
-            smat = np.zeros((C * d, C), dtype=np.float32)
-            for c in range(C):
-                smat[c * d:(c + 1) * d, c] = 1.0
-            self._grid["smat"] = jnp.asarray(smat)
+            self._grid["smat"] = jnp.asarray(_group_sum_matrix(C, d))
 
     def _morton_codes(self, pts: np.ndarray) -> np.ndarray:
         from . import morton

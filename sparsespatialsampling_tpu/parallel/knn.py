@@ -15,7 +15,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from .mesh import CELL_AXIS, pad_to_multiple
-from ..ops.knn import MAX_QUERY_CHUNK, _bucket_pow2, _sort_neighbors
+from ..ops.knn import (MAX_QUERY_CHUNK, _bucket_pow2, _sort_neighbors,
+                       _plan_grid, _grid_neighbor_table, _group_sum_matrix)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -30,6 +31,14 @@ def _local_topk(queries, points, points_sq, k: int):
 
 class ShardedKNNIndex:
     """Exact k-NN over a point cloud sharded across a 1-D device mesh."""
+
+    # same grid policy knobs as the single-chip index (``ops/knn.KNNIndex``)
+    GRID_MIN_POINTS = 32768
+    GRID_OCCUPANCY = 16
+    GRID_CAPACITY = 64
+    # per-DEVICE dilated-layout budget: the whole point of sharding the grid
+    # rows is that total capacity scales with the mesh size
+    GRID_DEVICE_BYTES = 1.5e9
 
     def __init__(self, points, mesh: Mesh, values=None):
         points = np.asarray(points, dtype=np.float32)
@@ -49,6 +58,11 @@ class ShardedKNNIndex:
         shard = NamedSharding(mesh, P(CELL_AXIS))
         self._points = jax.device_put(jnp.asarray(padded), shard)
         self._points_sq = jax.device_put(jnp.asarray(sq), shard)
+
+        self._grid = None
+        if self.n_points >= self.GRID_MIN_POINTS and self.n_dim in (2, 3):
+            self._build_grid(centered)
+
         self._values = None
         if values is not None:
             self.set_values(values)
@@ -56,11 +70,70 @@ class ShardedKNNIndex:
         self._query_fn = None
         self._k = None
 
+    def _build_grid(self, centered: np.ndarray) -> None:
+        """Row-sharded dilated bucket grid: the same host plan as the
+        single-chip index (``ops/knn._plan_grid``), dilated so every row is
+        SELF-CONTAINED (a cell's row holds its whole 3^d neighborhood), then
+        row-sharded over the mesh — no halo exchange needed, and total grid
+        capacity scales with the device count.  Member ids reference the
+        cloud in its original (unsorted) order."""
+        d = self.n_dim
+        plan = _plan_grid(centered, self.n_points, self.n_points,
+                          self.GRID_OCCUPANCY, self.GRID_CAPACITY)
+        C, n_cells = plan["C"], plan["n_cells"]
+        dil_bytes = (n_cells + 1) * (3 ** d) * C * (d + 2) * 4
+        if dil_bytes > self.GRID_DEVICE_BYTES * self.n_shards:
+            return
+
+        nb = _grid_neighbor_table(plan["dims"], n_cells)
+        dil_pts = plan["cell_pts"].reshape(n_cells + 1, C * d)[nb] \
+            .reshape(n_cells + 1, -1)
+        dil_cand = plan["cell_list"][nb].reshape(n_cells + 1, -1)
+        dil_ovf = plan["overflow"][nb]                       # [rows, 3^d]
+
+        # pad rows to a multiple of the mesh size with sentinel-row copies
+        # (all-pad: huge coords, never exact) so the row shards are equal
+        rows = n_cells + 1
+        rows_pad = -(-rows // self.n_shards) * self.n_shards
+        extra = rows_pad - rows
+        if extra:
+            dil_pts = np.concatenate([dil_pts, np.repeat(dil_pts[-1:],
+                                                         extra, axis=0)])
+            dil_cand = np.concatenate([dil_cand, np.repeat(dil_cand[-1:],
+                                                           extra, axis=0)])
+            dil_ovf = np.concatenate([dil_ovf, np.repeat(dil_ovf[-1:],
+                                                         extra, axis=0)])
+
+        shard = NamedSharding(self.mesh, P(CELL_AXIS))
+        self._grid = {
+            "h": plan["h"], "C": C, "n_cells": n_cells, "rows": rows_pad,
+            "origin": jnp.asarray(plan["origin"], dtype=jnp.float32),
+            "inv_h": jnp.float32(1.0 / plan["h"]),
+            "dims": jnp.asarray(plan["dims"], dtype=jnp.int32),
+            "smat": jnp.asarray(_group_sum_matrix(C, d)),
+            "dil_pts": jax.device_put(dil_pts, shard),
+            "dil_cand": jax.device_put(dil_cand, shard),
+            "dil_ovf": jax.device_put(dil_ovf, shard),
+        }
+        self._grid_fill = (plan["fill"], nb)
+
     def set_values(self, values) -> None:
         values = np.asarray(values, dtype=np.float32)
         assert values.shape[0] == self.n_points
         self._values = jnp.asarray(values)  # replicated (small)
         self._values_host = values
+        if self._grid is not None and values.ndim == 1:
+            (cells, pos, order), nb = self._grid_fill
+            n_cells, C = self._grid["n_cells"], self._grid["C"]
+            cell_vals = np.zeros((n_cells + 1, C), dtype=np.float32)
+            cell_vals[cells, pos] = values[order]
+            dil_vals = cell_vals[nb].reshape(n_cells + 1, -1)
+            extra = self._grid["rows"] - (n_cells + 1)
+            if extra:
+                dil_vals = np.concatenate(
+                    [dil_vals, np.repeat(dil_vals[-1:], extra, axis=0)])
+            self._grid["dil_vals"] = jax.device_put(
+                dil_vals, NamedSharding(self.mesh, P(CELL_AXIS)))
 
     def _build(self, k: int):
         n_local = self._n_padded // self.n_shards
