@@ -43,6 +43,39 @@ import numpy as np
 
 BASELINE_REFINE_S = 26.93  # tutorial2 cell-10 output: 25k cells + geometry, n_jobs=4
 C3D_BASELINE_EST_S = 280.0  # EXTRAPOLATED (see module docstring) — not published
+# MXU peak of the one v5e chip this runs on, bf16. The epoch kernels run
+# f32 with Precision.HIGHEST (multiple bf16 passes), so this denominator is
+# an upper bound and the reported MFU a LOWER bound — these kernels are
+# gather/HBM-bound by design, the honest headline is the gather GB/s.
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def throughput_metrics(prefix: str, dfm: dict, exp_timings: dict) -> dict:
+    """Derived observability metrics (queries/s, effective gather GB/s,
+    score-stage FLOP/s + MFU estimate for the refinement epoch kernel;
+    outputs/s + gather GB/s and the sub-phase split for the export path)."""
+    out = {}
+    es = dfm.get("epoch_stats") or {}
+    w = es.get("wall_s", 0.0)
+    if w > 0:
+        out[f"{prefix}epoch_queries_per_s"] = round(es["queries"] / w, 1)
+        out[f"{prefix}epoch_gather_gbps"] = round(
+            es["gather_bytes"] / w / 1e9, 2)
+        tf = es["flops"] / w / 1e12
+        out[f"{prefix}epoch_tflops"] = round(tf, 4)
+        out[f"{prefix}epoch_mfu_pct"] = round(
+            100.0 * tf / V5E_BF16_PEAK_TFLOPS, 4)
+    tk = exp_timings.get("t_kernel", 0.0)
+    if tk > 0:
+        out[f"{prefix}interp_outputs_per_s"] = round(
+            exp_timings.get("interp_outputs", 0) / tk, 1)
+        out[f"{prefix}interp_gather_gbps"] = round(
+            exp_timings.get("interp_bytes", 0.0) / tk / 1e9, 2)
+    for key in ("t_weights", "t_upload", "t_metric", "t_kernel",
+                "t_readback", "t_h5"):
+        out[f"{prefix}{key}"] = round(exp_timings.get(key, 0.0), 3)
+    out[f"{prefix}n_fallback"] = exp_timings.get("n_fallback", 0)
+    return out
 
 
 def airfoil_polygon(n: int = 240) -> np.ndarray:
@@ -142,7 +175,7 @@ def run_cylinder3d(tmp):
     write_svd_s_cube_to_file("k", tmp, "c3d", new_file=False, rank=20,
                              n_modes=5)
     t_svd = time.perf_counter() - t2
-    return s3, t_refine, t_interp, t_svd
+    return s3, t_refine, t_interp, t_svd, exp.timings
 
 
 def main():
@@ -189,7 +222,7 @@ def main():
     runs = [run_cylinder3d(tmp) for _ in range(2)]
     c3d_totals = [r[1] + r[2] + r[3] for r in runs]
     best = int(np.argmin(c3d_totals))
-    c3d, c3d_refine, c3d_interp, c3d_svd = runs[best]
+    c3d, c3d_refine, c3d_interp, c3d_svd, c3d_exp_t = runs[best]
     c3d_total = c3d_totals[best]
 
     out = {
@@ -230,6 +263,8 @@ def main():
         "c3d_baseline_est_s": C3D_BASELINE_EST_S,
         "c3d_vs_baseline_est": round(C3D_BASELINE_EST_S / c3d_total, 2),
     }
+    out.update(throughput_metrics("", s3.data_final_mesh, exp.timings))
+    out.update(throughput_metrics("c3d_", c3d.data_final_mesh, c3d_exp_t))
     print(json.dumps(out))
 
 

@@ -296,6 +296,13 @@ class SamplingTree:
         # 3D refine wall appeared in no phase timer)
         self._times["t_knn_build"] = _t_knn
         self._times["t_init"] = time() - _t_init0
+        # epoch-kernel throughput accounting (queries, effective gather
+        # bytes, score-stage FLOPs, wall seconds across all
+        # ``_process_new_cells`` calls) — surfaced through bench.py so
+        # single-chip perf is judged on throughput/MFU, not wall-clock alone
+        self._epoch_stats = {"queries": 0, "gather_bytes": 0.0,
+                             "flops": 0.0, "wall_s": 0.0}
+        self._epoch_query_cost = (0.0, 0.0)  # (bytes, flops) per padded query
 
     # ------------------------------------------------------------------ #
     # lattice helpers                                                     #
@@ -482,6 +489,8 @@ class SamplingTree:
         self._epoch_fn_full = self._epoch_fn
         self._epoch_fn_full_small = self._epoch_fn
         self._epoch_fn_ring = None
+        self._epoch_query_cost = (knn._n_padded * d * 4.0,
+                                  2.0 * knn._n_padded * d)
 
         g = getattr(knn, "_grid", None)
         if g is None or "dil_vals" not in g:
@@ -541,6 +550,9 @@ class SamplingTree:
             g["dil_pts"], g["dil_cand"], g["dil_ovf"], g["dil_vals"],
             g["origin"], g["inv_h"], g["dims"], g["smat"])
         self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
+        nnb, C = 3 ** d, g["C"]
+        self._epoch_query_cost = (nnb * C * (d + 2) * 4.0 + nnb,
+                                  2.0 * nnb * C * C * d)
 
     def _build_epoch_fn(self):
         """Build the fused epoch kernel(s): metric prediction at own + child
@@ -696,8 +708,18 @@ class SamplingTree:
                                   g["cell_list"], g["overflow"], g["origin"],
                                   g["inv_h"], g["dims"])
             self._epoch_fn_ring = lambda c, l: jit_ring(c, l, *ring_args)
+            nnb, C = 3 ** d, g["C"]
+            # per padded query: one dilated/blocked row (pts+cand+vals+ovf)
+            # and the score-stage FLOPs (MXU group-sum matmul on the dilated
+            # path, VPU delta-sums on the blocked path)
+            self._epoch_query_cost = (
+                (nnb * C * (d + 2) * 4.0 + nnb,
+                 2.0 * nnb * C * C * d) if "dil_vals" in g
+                else (nnb * C * (d + 2) * 4.0 + nnb, 2.0 * nnb * C * d))
         else:
             self._epoch_fn = self._epoch_fn_full
+            self._epoch_query_cost = (knn._points.shape[0] * d * 4.0,
+                                      2.0 * knn._points.shape[0] * d)
 
     def _process_new_cells(self, idx: np.ndarray) -> None:
         """Gain + metric + validity for newly created cells.
@@ -738,9 +760,16 @@ class SamplingTree:
             level[:m] = self._level[part]
             return fn(jnp.asarray(coords), jnp.asarray(level))
 
+        t_epoch0 = time()
         pending = [(idx[lo:lo + chunk_size],
                     dispatch(idx[lo:lo + chunk_size], self._epoch_fn))
                    for lo in range(0, idx.size, chunk_size)]
+        n_children = 1 + 2 ** d
+        q_disp = sum(_bucket(p.size) * n_children for p, _ in pending)
+        st = self._epoch_stats
+        st["queries"] += q_disp
+        st["gather_bytes"] += q_disp * self._epoch_query_cost[0]
+        st["flops"] += q_disp * self._epoch_query_cost[1]
 
         retry = []
         for part, fut in pending:
@@ -784,6 +813,10 @@ class SamplingTree:
                     fut = dispatch(part, self._epoch_fn_full)
                 out = np.asarray(fut)[:part.size]
                 self._apply_epoch_out(part, out)
+        # wall covers main dispatch + readback + retries; bytes/FLOPs count
+        # the main kernel only (retries are rare), so the derived
+        # throughput is a slight under-estimate — never inflated
+        st["wall_s"] += time() - t_epoch0
 
     def _apply_epoch_out(self, part: np.ndarray, out: np.ndarray) -> None:
         if part.size == 0:
@@ -1128,6 +1161,7 @@ class SamplingTree:
                                            - self._times["t_start_uniform"])
         self.data_final_mesh["t_init"] = self._times["t_init"]
         self.data_final_mesh["t_knn_build"] = self._times["t_knn_build"]
+        self.data_final_mesh["epoch_stats"] = dict(self._epoch_stats)
         self.data_final_mesh["t_uniform"] = (self._times["t_end_uniform"]
                                              - self._times["t_start_uniform"])
         self.data_final_mesh["t_renumbering"] = (self._times["t_end_renumber"]

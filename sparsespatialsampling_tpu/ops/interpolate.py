@@ -122,4 +122,13 @@ def interpolate_device(w_dev, idx_dev, data, n, chunk_size: int = None,
     if timings is not None:
         timings["t_kernel"] = timings.get("t_kernel", 0.0) + (t1 - t0)
         timings["t_readback"] = timings.get("t_readback", 0.0) + (t2 - t1)
+        # throughput accounting: the kernel's HBM traffic is the k-way
+        # value gather [Q, k, C, S] plus the [Q, C, S] result write; the
+        # outputs count feeds cells·snapshots/s in bench.py
+        c_s = data.shape[1] * data.shape[2]
+        k = w_dev.shape[1]
+        timings["interp_bytes"] = (timings.get("interp_bytes", 0.0)
+                                   + q_pad * (k + 1) * c_s * 4.0)
+        timings["interp_outputs"] = (timings.get("interp_outputs", 0)
+                                     + n * c_s)
     return out[:n]
