@@ -178,6 +178,65 @@ def run_cylinder3d(tmp):
     return s3, t_refine, t_interp, t_svd, exp.timings
 
 
+def synthetic_sphere_stl(path: str, n_lat: int = 180, n_lon: int = 144):
+    """Write a ~5e4-triangle closed sphere STL (the reference's stated STL
+    scale, ``README.md:202-208`` / ``geometry_STL_3d.py:161-166``): interior
+    lat rings as quad pairs, pole caps as fans, seam shared by index wrap so
+    shared vertices are bit-identical (keeps the mesh watertight)."""
+    from sparsespatialsampling_tpu.geometry.stl import write_stl
+    r, c0 = 0.05, np.asarray([0.2, 0.2, 0.2])
+    th = np.linspace(0.0, np.pi, n_lat + 1)[1:-1]          # interior rings
+    ph = np.arange(n_lon) / n_lon * 2.0 * np.pi            # no seam dup
+    t, p = np.meshgrid(th, ph, indexing="ij")
+    ring = np.stack([r * np.sin(t) * np.cos(p),
+                     r * np.sin(t) * np.sin(p),
+                     r * np.cos(t)], axis=-1) + c0         # [R, L, 3]
+    ring = ring.astype(np.float32)
+    nxt = np.roll(np.arange(n_lon), -1)
+    top = (c0 + [0, 0, r]).astype(np.float32)
+    bot = (c0 - [0, 0, r]).astype(np.float32)
+    tris = [np.stack([np.broadcast_to(top, (n_lon, 3)),
+                      ring[0], ring[0][nxt]], axis=1),
+            np.stack([np.broadcast_to(bot, (n_lon, 3)),
+                      ring[-1][nxt], ring[-1]], axis=1)]
+    a, b = ring[:-1], ring[1:]
+    tris.append(np.stack([a, b, b[:, nxt]], axis=2).reshape(-1, 3, 3))
+    tris.append(np.stack([a, b[:, nxt], a[:, nxt]], axis=2).reshape(-1, 3, 3))
+    tris = np.concatenate(tris)
+    write_stl(path, tris)
+    return tris.shape[0]
+
+
+def run_stl(tmp):
+    """STL workload: 200k-point 3D cloud refined against a 51k-triangle STL
+    obstacle (surface refinement on) — proves the full-evaluation-per-epoch
+    decision (engine/tree.py fused geometry check) at the reference's STL
+    scale guidance."""
+    import os
+    from sparsespatialsampling_tpu import (
+        SparseSpatialSampling, CubeGeometry, GeometrySTL3D)
+    stl_path = os.path.join(tmp, "sphere.stl")
+    n_tri = synthetic_sphere_stl(stl_path)
+    bounds = [[0.0, 0.0, 0.0], [0.6, 0.4, 0.4]]
+    rng = np.random.default_rng(2)
+    xyz = rng.uniform(bounds[0], bounds[1], size=(220_000, 3))
+    rr = np.linalg.norm(xyz - [0.2, 0.2, 0.2], axis=1)
+    xyz = xyz[rr > 0.05][:200_000]
+    metric = (np.exp(-np.maximum(np.linalg.norm(
+        xyz - [0.2, 0.2, 0.2], axis=1) - 0.05, 0) / 0.1) + 0.01)
+    geometries = [
+        CubeGeometry("domain", True, bounds[0], bounds[1]),
+        GeometrySTL3D("sphere", False, stl_path, refine=True,
+                      min_refinement_level=6),
+    ]
+    t0 = time.perf_counter()
+    s3 = SparseSpatialSampling(
+        xyz, metric, geometries, save_path=tmp, save_name="stl",
+        uniform_levels=4, n_cells_max=40_000)
+    s3.execute_grid_generation()
+    return s3, n_tri, time.perf_counter() - t0
+
+
 def main():
     from sparsespatialsampling_tpu import ExportData, write_svd_s_cube_to_file
 
@@ -265,6 +324,18 @@ def main():
     }
     out.update(throughput_metrics("", s3.data_final_mesh, exp.timings))
     out.update(throughput_metrics("c3d_", c3d.data_final_mesh, c3d_exp_t))
+
+    # -- workload 3: STL obstacle at the reference's 5e4-triangle scale ---
+    s3_stl, n_tri, t_stl = run_stl(tmp)
+    out.update({
+        "stl_refine_s": round(t_stl, 3),
+        "stl_n_triangles": int(n_tri),
+        "stl_n_cells": int(s3_stl.faces.shape[0]),
+        "stl_uniform_s": round(s3_stl.data_final_mesh["t_uniform"], 3),
+        "stl_adaptive_s": round(s3_stl.data_final_mesh["t_adaptive"], 3),
+        "stl_geometry_s": (round(s3_stl.data_final_mesh["t_geometry"], 3)
+                           if s3_stl.data_final_mesh["t_geometry"] else None),
+    })
     print(json.dumps(out))
 
 

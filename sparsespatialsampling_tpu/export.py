@@ -9,6 +9,7 @@ schema is bit-compatible with the reference so ParaView and downstream
 tooling work unchanged.
 """
 import logging
+import os
 from os import path
 from time import time
 from typing import Union
@@ -18,7 +19,8 @@ import numpy as np
 from .io.const import GRID, CONST, FACES, CENTERS, VERTICES, DATA
 from .io.data import Datawriter
 from .ops.knn import KNNIndex
-from .ops.interpolate import interpolate_data, interpolate_device
+from .ops.interpolate import (interpolate_data, interpolate_device,
+                              interpolate_host)
 
 logger = logging.getLogger(__name__)
 
@@ -94,6 +96,15 @@ class ExportData:
 
         self._n_neighbors = (n_neighbors if n_neighbors is not None
                              else (8 if self.n_dimensions == 2 else 26))
+        # interpolation routing: "host" (default) reads the [Q, k] weight
+        # cache back once and contracts snapshots on the host — 4x less
+        # link traffic than shipping every snapshot batch up and the result
+        # down (see ops/interpolate.interpolate_host); "device" keeps the
+        # round trip (wins on co-located PCIe hardware)
+        self._interp_path = os.environ.get("S3_TPU_INTERP", "host")
+        # engine k-NN index over the same CFD cloud, if the caller kept it
+        # (set by execute_grid_generation) — skips the export-side rebuild
+        self._engine_knn = getattr(s_cube, "_knn_index", None)
         self._knn = None
         self._mesh = None
         self._cache_device = False
@@ -171,27 +182,42 @@ class ExportData:
 
         if self._knn is None:
             pts = coordinates.reshape(-1, self.n_dimensions)
-            if sharding_enabled():
+            reuse = self._engine_knn
+            if (isinstance(reuse, KNNIndex) and not sharding_enabled()
+                    and reuse.n_points == pts.shape[0]
+                    and reuse.n_dim == pts.shape[1]
+                    and np.allclose(
+                        pts[[0, pts.shape[0] // 2, -1]] - reuse._shift,
+                        reuse._points_host[[0, pts.shape[0] // 2, -1]],
+                        atol=1e-6)):
+                # the engine indexed the SAME cloud — skip the Morton sort
+                # + grid build + device uploads
+                self._mesh = None
+                self._knn = reuse
+            elif sharding_enabled():
                 self._mesh = make_mesh()
                 self._knn = ShardedKNNIndex(pts, self._mesh)
             else:
                 self._mesh = None
                 self._knn = KNNIndex(pts)
 
-        if isinstance(self._knn, KNNIndex):
-            # single-chip: keep the weight cache device-resident — the
-            # weights feed straight into the device interpolation kernel,
-            # and skipping the [M, k] readback + re-upload saves ~2 s per
-            # 150k cells through the ~35 MB/s tunnel readback path
+        if isinstance(self._knn, KNNIndex) and self._interp_path == "device":
+            # device-resident weight cache feeding the device interpolation
+            # kernel: no [M, k] readback, but every snapshot batch travels
+            # up and the result back down
             self._knn_w_centers, self._knn_idx_centers, n = \
                 self._knn.weights_device(self._centers, self._n_neighbors)
             self._cache_device = True
             self.timings["n_fallback"] += self._knn.last_fallback
         else:
+            # host weight cache (single readback) feeding the host
+            # contraction — the default; see interpolate_host for why
             w, idx = self._knn.weights(self._centers, self._n_neighbors)
             self._knn_w_centers = np.asarray(w)
             self._knn_idx_centers = np.asarray(idx)
             self._cache_device = False
+            self.timings["n_fallback"] += getattr(self._knn,
+                                                  "last_fallback", 0)
 
         if self._interpolate_at_vertices:
             if self._cache_device:
@@ -222,13 +248,13 @@ class ExportData:
                            f"'[N_cells, 1, N_snapshots]'.")
             data = data[:, None, :]
 
-        # start the (async) snapshot upload BEFORE the weight-cache build so
-        # the ~100 MB transfer overlaps the k-NN search instead of
-        # serializing after it (device path only; the sharded path shards
-        # the host array itself)
+        # device path only: start the (async) snapshot upload BEFORE the
+        # weight-cache build so the transfer overlaps the k-NN search (the
+        # host path never ships snapshots; the sharded path shards the host
+        # array itself)
         from .parallel import sharding_enabled
         data_for_interp = data
-        if not sharding_enabled():
+        if self._interp_path == "device" and not sharding_enabled():
             import jax
             t0 = time()
             data_for_interp = jax.device_put(
@@ -279,7 +305,10 @@ class ExportData:
                  else self._centers.shape[0])
             return interpolate_device(w, idx, data, n, self._chunk_size,
                                       timings=self.timings)
-        return interpolate_data(w, idx, data, self._chunk_size)
+        return interpolate_host(w, idx, data,
+                                **({"chunk_size": self._chunk_size}
+                                   if self._chunk_size else {}),
+                                timings=self.timings)
 
     # ------------------------------------------------------------------ #
     # HDF5 output                                                         #

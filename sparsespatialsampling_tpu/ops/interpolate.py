@@ -78,6 +78,43 @@ def interpolate_data(weights, idx, data, chunk_size: int = None) -> np.ndarray:
     return out
 
 
+def interpolate_host(w, idx, data, chunk_size: int = 16384,
+                     timings: dict = None) -> np.ndarray:
+    """Pure-host chunked gather + contraction on NUMPY weight caches.
+
+    Rationale (this deployment's measured numbers): the interpolation is a
+    trivial memory-bound contraction, but the snapshot matrix starts on the
+    host and the result must return to the host for the HDF5 write.  When
+    the device link is a tunnel (2–88 MB/s observed), the device path moves
+    ``data`` up (~100 MB for cylinder3D) plus the result down (~30 MB) per
+    field, while the host path moves the ``[Q, k]`` weight cache down ONCE
+    (~31 MB) and nothing else — a 4x traffic cut that also amortizes over
+    fields and batches.  The k-NN search (the hard part) still runs on the
+    device.  Force the device path with ``S3_TPU_INTERP=device`` (on
+    co-located hardware its PCIe upload is negligible and it wins).
+    """
+    from time import perf_counter
+    t0 = perf_counter()
+    w = np.asarray(w, dtype=np.float32)
+    idx = np.asarray(idx)
+    data = np.asarray(data, dtype=np.float32)
+    m = w.shape[0]
+    out = np.empty((m,) + data.shape[1:], dtype=np.float32)
+    for lo in range(0, m, chunk_size):
+        hi = min(lo + chunk_size, m)
+        out[lo:hi] = np.einsum("qk,qkcs->qcs", w[lo:hi], data[idx[lo:hi]],
+                               optimize=True)
+    if timings is not None:
+        timings["t_kernel"] = (timings.get("t_kernel", 0.0)
+                               + perf_counter() - t0)
+        c_s = data.shape[1] * data.shape[2]
+        timings["interp_bytes"] = (timings.get("interp_bytes", 0.0)
+                                   + m * (w.shape[1] + 1) * c_s * 4.0)
+        timings["interp_outputs"] = (timings.get("interp_outputs", 0)
+                                     + m * c_s)
+    return out
+
+
 def interpolate_device(w_dev, idx_dev, data, n, chunk_size: int = None,
                        timings: dict = None):
     """Interpolation with device-resident weights (``KNNIndex.weights_device``

@@ -304,6 +304,17 @@ def _predict_padded(queries, points, points_sq, values, k, tile_n, tile_q):
 
 
 @jax.jit
+def _blocked_pts_device(points_padded, cell_list):
+    """Build the blocked member-coordinate layout ``[rows, C, d]`` on device
+    by gathering the already-uploaded (Morton-sorted, padded) point array —
+    saves re-uploading ~C·d·4 bytes/cell through the link.  Pad rows of
+    ``points_padded`` hold 1e30; clamp to the 1e15 pad convention so squared
+    pad distances stay FINITE (an inf delta² would NaN-contaminate the
+    dilated kernel's group-sum matmul through its zero entries)."""
+    return jnp.minimum(points_padded[cell_list], 1e15)
+
+
+@jax.jit
 def _dilate(arr, nb):
     """Concatenate each cell's 3^d neighborhood rows: ``arr [n, W]``,
     ``nb [n, 3^d]`` → ``[n, 3^d·W]`` (one-time build of the dilated grid
@@ -638,15 +649,18 @@ class KNNIndex:
         out-of-bbox queries)."""
         plan = _plan_grid(sorted_pts, self.n_points, self._pad_idx,
                           self.GRID_OCCUPANCY, self.GRID_CAPACITY)
+        cell_list_dev = jnp.asarray(plan["cell_list"])
         self._grid = {
             "h": plan["h"],
             "C": plan["C"],
             "origin": jnp.asarray(plan["origin"], dtype=jnp.float32),
             "inv_h": jnp.float32(1.0 / plan["h"]),
             "dims": jnp.asarray(plan["dims"], dtype=jnp.int32),
-            "cell_list": jnp.asarray(plan["cell_list"]),
+            "cell_list": cell_list_dev,
             "overflow": jnp.asarray(plan["overflow"]),
-            "cell_pts": jnp.asarray(plan["cell_pts"]),
+            # gathered on device from the already-uploaded point array —
+            # the C·d·4 B/cell host copy never crosses the link
+            "cell_pts": _blocked_pts_device(self._points, cell_list_dev),
         }
         # host copies for the lazy cell_vals build in set_values
         self._grid_fill = plan["fill"]
@@ -829,6 +843,7 @@ class KNNIndex:
             bad_rows.append(lo + np.nonzero(~ok)[0])
 
         bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, dtype=int)
+        self.last_fallback = int(bad.size)
         if bad.size:
             fb = self._full_scan(queries[bad], k, mode)
             if mode == "predict":

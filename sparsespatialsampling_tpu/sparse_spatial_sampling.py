@@ -121,25 +121,49 @@ class SparseSpatialSampling:
         """Run the refinement and persist the results
         (reference ``execute_grid_generation``,
         ``sparse_spatial_sampling.py:116-146``)."""
+        from time import perf_counter
         if not path.exists(self.save_path):
             makedirs(self.save_path)
 
         self._sampling.refine()
+        t0 = perf_counter()
 
         self.data_final_mesh = self._sampling.data_final_mesh
-        _save_object(self.data_final_mesh,
-                     join(self.save_path, f"mesh_info_{self.save_name}.pt"))
 
         self.levels = self._sampling.all_levels
         self.centers = self._sampling.all_centers
         self.vertices = self._sampling.all_nodes
         self.faces = self._sampling.face_ids
         self.size_initial_cell = self.data_final_mesh["size_initial_cell"]
+        # final-grid copies (lazy float64 assembly) — tracked so every
+        # second of the e2e refine wall sits in a named phase bucket
+        self.data_final_mesh["t_finalize"] = perf_counter() - t0
+
+        _save_object(self.data_final_mesh,
+                     join(self.save_path, f"mesh_info_{self.save_name}.pt"))
+
+        # keep the engine's k-NN index for ExportData to reuse (same CFD
+        # cloud → identical index; saves the Morton sort + grid build +
+        # device uploads at export time). NOT part of the pickled
+        # checkpoint: it holds device buffers, and it is attached after
+        # ``_save_object`` below on purpose.
+        knn_index = self._sampling._knn
 
         # drop the tree; the checkpoint only needs the final grid
         self._sampling = None
 
+        t1 = perf_counter()
         _save_object(self, join(self.save_path, f"s_cube_{self.save_name}.pt"))
+        # in-memory only (the mesh-info artifact is already on disk)
+        self.data_final_mesh["t_checkpoint"] = perf_counter() - t1
+        self._knn_index = knn_index
+
+    def __getstate__(self):
+        """Checkpoints never carry the runtime k-NN index (device buffers
+        aren't picklable; ``ExportData`` rebuilds one on reload)."""
+        state = self.__dict__.copy()
+        state.pop("_knn_index", None)
+        return state
 
     def _check_input(self) -> None:
         """Validate + auto-correct user settings (behavioral mirror of the

@@ -149,13 +149,14 @@ class TestShardedPipelineEquivalence:
         fn_grid, fn_full = tree._epoch_fn, tree._epoch_fn_full
         assert fn_grid is not fn_full
 
-        # a synthetic batch: all 1024 level-5 lattice cells over a domain
-        # patch (no refine needed — the epoch kernel is stateless)
+        # a synthetic batch: 256 level-4 lattice cells over a domain patch
+        # (no refine needed — the epoch kernel is stateless; 256 keeps the
+        # CPU-emulated full-scan side of the comparison affordable)
         import numpy as _np
-        cc = _np.stack(_np.meshgrid(_np.arange(32), _np.arange(32),
+        cc = _np.stack(_np.meshgrid(_np.arange(16), _np.arange(16),
                                     indexing="ij"), axis=-1).reshape(-1, 2)
         coords = jax.numpy.asarray(cc.astype(_np.float32))
-        level = jax.numpy.asarray(_np.full(1024, 5.0, dtype=_np.float32))
+        level = jax.numpy.asarray(_np.full(256, 4.0, dtype=_np.float32))
 
         def timed(fn):
             jax.block_until_ready(fn(coords, level))         # compile

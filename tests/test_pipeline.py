@@ -194,6 +194,26 @@ class TestExport:
         assert dl.metric.shape[0] == dl.n_cells
         assert (dl.weights > 0).all()
 
+    def test_host_and_device_interp_paths_agree(self, cloud_2d, executed_s3,
+                                                tmp_path, monkeypatch):
+        """The default host contraction and the device gather kernel must
+        produce the same interpolated fields (same device-computed k-NN
+        weights feed both)."""
+        xy, metric = cloud_2d
+        data = np.stack([metric, metric * 1.1], axis=-1)[:, None, :]
+        results = {}
+        for mode in ("host", "device"):
+            monkeypatch.setenv("S3_TPU_INTERP", mode)
+            exp = ExportData(executed_s3, write_times=["0.1", "0.2"])
+            exp._save_dir = str(tmp_path)
+            exp._save_name = f"pp_{mode}"
+            exp.export(xy, data, "p", n_snapshots_total=2)
+            assert exp._cache_device == (mode == "device")
+            dl = Dataloader(str(tmp_path), f"pp_{mode}.h5")
+            results[mode] = dl.load_snapshot("p")
+        np.testing.assert_allclose(results["host"], results["device"],
+                                   rtol=1e-5, atol=1e-6)
+
     def test_interpolation_accuracy(self, exported, executed_s3, cloud_2d):
         """Interpolated metric at cell centers must be close to the analytic
         field evaluated there (smooth field, dense cloud)."""
