@@ -19,8 +19,7 @@ import numpy as np
 from .io.const import GRID, CONST, FACES, CENTERS, VERTICES, DATA
 from .io.data import Datawriter
 from .ops.knn import KNNIndex
-from .ops.interpolate import (interpolate_data, interpolate_device,
-                              interpolate_host)
+from .ops.interpolate import interpolate_device, interpolate_host
 
 logger = logging.getLogger(__name__)
 

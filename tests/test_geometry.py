@@ -358,3 +358,70 @@ class TestSTLGeometry:
         cells = np.stack([CELLS.cell_outside_3D, CELLS.cell_partially_3D])
         res = np.asarray(g.check_cells(cells))
         assert res.tolist() == [False, False]
+
+
+class TestFastWinding:
+    """The two-level fast winding number (triangle bucket grid + far-field
+    cluster dipoles) must classify inside/outside identically to the exact
+    O(M·T) sweep."""
+
+    @pytest.fixture(scope="class")
+    def sphere_stl(self, tmp_path_factory):
+        """A watertight ~5.7k-triangle sphere (above the fast-winding
+        threshold), radius 0.05 at (0.2, 0.2, 0.2)."""
+        import sys
+        from os.path import dirname
+        sys.path.insert(0, dirname(dirname(__file__)))
+        from bench import synthetic_sphere_stl
+        path = str(tmp_path_factory.mktemp("fw") / "sphere.stl")
+        n = synthetic_sphere_stl(path, n_lat=60, n_lon=48)
+        assert n >= 4096
+        return path
+
+    def test_matches_exact_and_analytic(self, sphere_stl):
+        import jax.numpy as jnp
+        from sparsespatialsampling_tpu.geometry import stl as S
+        tris = S.read_stl(sphere_stl)
+        fw = S.build_fast_winding(tris)
+
+        rng = np.random.default_rng(4)
+        far = rng.uniform([0, 0, 0], [0.6, 0.4, 0.4], size=(256, 3))
+        rd = rng.normal(size=(256, 3))
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        near = 0.2 + rd * (0.05 * rng.uniform(0.9, 1.1, size=(256, 1)))
+        inner = 0.2 + rd * (0.05 * rng.uniform(0.0, 0.85, size=(256, 1)))
+        pts = np.concatenate([far, near, inner]).astype(np.float32)
+        m = pts.shape[0]
+        pad = -(-m // S._FW_CHUNK) * S._FW_CHUNK
+        pp = np.zeros((pad, 3), np.float32)
+        pp[:m] = pts
+        w_fast = np.asarray(S._fast_winding(
+            jnp.asarray(pp), fw["cell_tris"], fw["v0"], fw["v1"], fw["v2"],
+            fw["resid"], fw["clus_cell"], fw["clus_cent"], fw["clus_an"],
+            fw["origin"], fw["inv_h"], fw["dims"]))[:m]
+
+        pad2 = -(-m // S._POINT_CHUNK) * S._POINT_CHUNK
+        pp2 = np.zeros((pad2, 3), np.float32)
+        pp2[:m] = pts
+        w_exact = np.asarray(S._winding_number(
+            jnp.asarray(pp2), jnp.asarray(tris[:, 0], jnp.float32),
+            jnp.asarray(tris[:, 1], jnp.float32),
+            jnp.asarray(tris[:, 2], jnp.float32)))[:m]
+
+        np.testing.assert_array_equal(w_fast > 0.5, w_exact > 0.5)
+        # analytic check only outside the faceting band: chords of the
+        # triangulated sphere sag ~1e-4 below the true radius, so points in
+        # that shell legitimately classify by the polyhedron, not the ball
+        rr = np.linalg.norm(pts - [0.2, 0.2, 0.2], axis=1)
+        off_band = np.abs(rr - 0.05) > 1e-3
+        np.testing.assert_array_equal((w_fast > 0.5)[off_band],
+                                      (rr < 0.05)[off_band])
+        assert np.abs(w_fast - w_exact).max() < 0.05
+
+    def test_geometry_uses_fast_path(self, sphere_stl):
+        g = GeometrySTL3D("sphere", False, sphere_stl)
+        assert g._fw is not None
+        pts = np.asarray([[0.2, 0.2, 0.2], [0.2, 0.2, 0.26],
+                          [0.5, 0.3, 0.3], [0.2, 0.2, 0.249]])
+        mask = np.asarray(g.mask_points(pts))
+        assert mask.tolist() == [True, False, False, True]
