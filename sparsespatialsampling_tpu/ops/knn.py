@@ -827,6 +827,8 @@ class KNNIndex:
             out = np.empty((q_total,) + (() if self._values_host.ndim == 1
                                          else (self._values_host.shape[1],)),
                            dtype=np.float32)
+        elif mode == "query_idx":
+            out_idx = np.empty((q_total, k), dtype=np.int32)
         else:
             out_sq = np.empty((q_total, k), dtype=np.float32)
             out_idx = np.empty((q_total, k), dtype=np.int32)
@@ -835,6 +837,12 @@ class KNNIndex:
             if mode == "predict":
                 pred, ok = fut
                 out[lo:lo + n] = np.asarray(pred)[:n]
+            elif mode == "query_idx":
+                # indices-only readback: the sq buffer never crosses the
+                # link (halves the [Q, k] transfer; distances are
+                # recomputed host-side from the centered cloud)
+                _, idx, ok = fut
+                out_idx[lo:lo + n] = np.asarray(idx)[:n]
             else:
                 sq, idx, ok = fut
                 out_sq[lo:lo + n] = np.asarray(sq)[:n]
@@ -845,13 +853,20 @@ class KNNIndex:
         bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, dtype=int)
         self.last_fallback = int(bad.size)
         if bad.size:
-            fb = self._full_scan(queries[bad], k, mode)
+            fb = self._full_scan(queries[bad], k,
+                                 "query" if mode == "query_idx" else mode)
             if mode == "predict":
                 out[bad] = fb
+            elif mode == "query_idx":
+                out_idx[bad] = fb[1]
             else:
                 out_sq[bad], out_idx[bad] = fb
 
-        return out if mode == "predict" else (out_sq, out_idx)
+        if mode == "predict":
+            return out
+        if mode == "query_idx":
+            return out_idx
+        return out_sq, out_idx
 
     def _spatial_run(self, queries, k: int, mode: str):
         """Route through the bucket grid when available (its 3^d·C candidate
@@ -877,11 +892,40 @@ class KNNIndex:
         return np.sqrt(np.maximum(sq, 0.0)), self._perm_pad[idx]
 
     def weights(self, queries, k: int):
-        """Normalized inverse-distance weights: ``(w [Q, k], idx [Q, k])``."""
-        dists, idx = self.query(queries, k)
+        """Normalized inverse-distance weights: ``(w [Q, k], idx [Q, k])``.
+
+        On the grid path only the ``[Q, k]`` int32 index block is read back
+        from the device (the squared-distance buffer stays there) — through
+        the tunnel this halves the dominant export transfer.  Distances are
+        recomputed host-side in f32 from the centered cloud, the same
+        arithmetic the device kernel uses, so the weights are unchanged at
+        the ulp level that matters (both paths are exact k-NN over
+        identical neighbor sets in canonical order)."""
+        assert k <= self.n_points, \
+            f"k={k} exceeds the number of indexed points ({self.n_points})."
+        q64 = np.asarray(queries, dtype=np.float64) - self._shift
+        use_grid = (self._grid is not None and q64.shape[0] > 0
+                    and k <= (3 ** self.n_dim) * self._grid["C"])
+        if use_grid:
+            idx = self._perm_pad[self._grid_run(q64, k, "query_idx")]
+            nbr = self._points_host32[idx]              # [Q, k, d] centered
+            diff = nbr - q64[:, None, :].astype(np.float32)
+            dists = np.sqrt(np.maximum((diff * diff).sum(-1), 0.0))
+        else:
+            sq, idx = self._full_scan(q64, k, "query")
+            idx = self._perm_pad[idx]
+            dists = np.sqrt(np.maximum(sq, 0.0))
         w = 1.0 / np.clip(dists, 1e-12, None)
         w /= w.sum(axis=1, keepdims=True)
         return w.astype(np.float32), idx
+
+    @property
+    def _points_host32(self) -> np.ndarray:
+        """f32 centered cloud in ORIGINAL point order (host-side distance
+        recomputation for :meth:`weights`)."""
+        if not hasattr(self, "_points_host32_cache"):
+            self._points_host32_cache = self._points_host.astype(np.float32)
+        return self._points_host32_cache
 
     def weights_device(self, queries, k: int):
         """Device-resident variant of :meth:`weights` for pipelines that feed
