@@ -141,8 +141,18 @@ def _omega(pts, w0, w1, w2):
 # fast-winding build knobs: triangle-grid capacity and the neighborhood
 # radius (2 → 5^3 cells answered EXACTLY; everything farther uses the
 # cluster dipole term, whose relative error at ≥2h separation is O((r/d)^2)
-# — far below the 0.5 classification threshold for closed surfaces)
-_FW_MIN_TRIS = 4096
+# — far below the 0.5 classification threshold for closed surfaces).
+#
+# Threshold: measured on the v5e, the EXACT broadcast sweep (no gathers,
+# pure VPU math over all triangles) ran 36.8k queries x 51k triangles in
+# 0.395 s warm, while the two-level structure took 7 s on the same batch —
+# its pointwise triangle gathers hit the identical 12-byte-lookup wall the
+# kNN kernels documented (CLAUDE.md). Exact cost is linear in T, the
+# structure's is ~constant in T, so the crossover sits near 51k x 18 ≈ 900k
+# triangles; 256k adds safety margin for meshes with heavier per-cell
+# occupancy. At the reference's stated 5e4-triangle guidance the exact
+# sweep is the fast path.
+_FW_MIN_TRIS = 262144
 _FW_RADIUS = 2
 _FW_CHUNK = 1024
 

@@ -367,8 +367,10 @@ class TestFastWinding:
 
     @pytest.fixture(scope="class")
     def sphere_stl(self, tmp_path_factory):
-        """A watertight ~5.7k-triangle sphere (above the fast-winding
-        threshold), radius 0.05 at (0.2, 0.2, 0.2)."""
+        """A watertight ~5.7k-triangle sphere, radius 0.05 at
+        (0.2, 0.2, 0.2). Small enough that the exact broadcast sweep is
+        the production path — tests force the two-level structure by
+        monkeypatching ``_FW_MIN_TRIS``."""
         import sys
         from os.path import dirname
         sys.path.insert(0, dirname(dirname(__file__)))
@@ -418,7 +420,9 @@ class TestFastWinding:
                                       (rr < 0.05)[off_band])
         assert np.abs(w_fast - w_exact).max() < 0.05
 
-    def test_geometry_uses_fast_path(self, sphere_stl):
+    def test_geometry_uses_fast_path(self, sphere_stl, monkeypatch):
+        from sparsespatialsampling_tpu.geometry import stl as S
+        monkeypatch.setattr(S, "_FW_MIN_TRIS", 4096)
         g = GeometrySTL3D("sphere", False, sphere_stl)
         assert g._fw is not None
         pts = np.asarray([[0.2, 0.2, 0.2], [0.2, 0.2, 0.26],
