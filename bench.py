@@ -328,6 +328,13 @@ def main():
         "c3d_adaptive_s": round(c3d.data_final_mesh["t_adaptive"], 3),
         "c3d_geometry_s": (round(c3d.data_final_mesh["t_geometry"], 3)
                            if c3d.data_final_mesh["t_geometry"] else None),
+        # full ledger: c3d_refine_s == init + uniform + adaptive + geometry
+        # + renumber + finalize + checkpoint (to within noise)
+        "c3d_init_s": round(c3d.data_final_mesh["t_init"], 3),
+        "c3d_knn_build_s": round(c3d.data_final_mesh["t_knn_build"], 3),
+        "c3d_renumber_s": round(c3d.data_final_mesh["t_renumbering"], 3),
+        "c3d_finalize_s": round(c3d.data_final_mesh["t_finalize"], 3),
+        "c3d_checkpoint_s": round(c3d.data_final_mesh["t_checkpoint"], 3),
         "c3d_n_cells": int(c3d.faces.shape[0]),
         "c3d_captured_metric": round(
             float(c3d.data_final_mesh["metric_per_iter"][-1]), 4),
