@@ -1132,9 +1132,12 @@ class SamplingTree:
         depth = int(level.max())
         assert depth <= self._max_depth, \
             f"Refinement depth {depth} exceeds the lattice limit {self._max_depth}."
+        split = {"t_keys": time()}
 
         keys = morton.node_keys(coords, level, self._offsets, depth)  # [N, 2^d]
+        split["t_unique"] = time()
         unique_keys, inverse = np.unique(keys.ravel(), return_inverse=True)
+        split["t_emit"] = time()
 
         idx_dtype = np.int32 if unique_keys.size < np.iinfo(np.int32).max else np.int64
         self.face_ids = inverse.reshape(keys.shape).astype(idx_dtype)
@@ -1145,6 +1148,14 @@ class SamplingTree:
         self.all_centers = self._centers_of(coords, level)
         self.all_levels = level.astype(np.int64)[:, None]
         self._times["t_end_renumber"] = time()
+        # sub-phase split (seconds): keys = corner-key build, unique = the
+        # node dedup sort, emit = face ids + node/center float64 assembly
+        ts, te = self._times["t_start_renumber"], self._times["t_end_renumber"]
+        self._times["renumber_split"] = {
+            "t_keys": round(split["t_unique"] - split["t_keys"], 4),
+            "t_unique": round(split["t_emit"] - split["t_unique"], 4),
+            "t_emit": round(te - split["t_emit"], 4),
+            "t_pre": round(split["t_keys"] - ts, 4)}
 
     def _create_mesh_info(self, counter: int) -> None:
         """Mesh statistics + phase timings (reference ``_create_mesh_info``,
@@ -1166,6 +1177,8 @@ class SamplingTree:
                                              - self._times["t_start_uniform"])
         self.data_final_mesh["t_renumbering"] = (self._times["t_end_renumber"]
                                                  - self._times["t_start_renumber"])
+        self.data_final_mesh["renumber_split"] = self._times.get(
+            "renumber_split", {})
         if self._times["t_end_geometry"] > 0:
             self.data_final_mesh["t_geometry"] = (self._times["t_end_geometry"]
                                                   - self._times["t_start_geometry"])

@@ -19,7 +19,8 @@ import numpy as np
 from .io.const import GRID, CONST, FACES, CENTERS, VERTICES, DATA
 from .io.data import Datawriter
 from .ops.knn import KNNIndex
-from .ops.interpolate import interpolate_device, interpolate_host
+from .ops.interpolate import (interpolate_device, interpolate_host,
+                              build_host_operator)
 
 logger = logging.getLogger(__name__)
 
@@ -111,6 +112,8 @@ class ExportData:
         self._knn_w_centers = None
         self._knn_idx_vertices = None
         self._knn_w_vertices = None
+        self._op_centers = None      # CSR operators for the host path,
+        self._op_vertices = None     # cached across fields/batches
         self._coord_shape = None
         self._chunk_size = None
 
@@ -214,6 +217,9 @@ class ExportData:
             w, idx = self._knn.weights(self._centers, self._n_neighbors)
             self._knn_w_centers = np.asarray(w)
             self._knn_idx_centers = np.asarray(idx)
+            self._op_centers = build_host_operator(
+                self._knn_w_centers, self._knn_idx_centers,
+                coordinates.reshape(-1, self.n_dimensions).shape[0])
             self._cache_device = False
             self.timings["n_fallback"] += getattr(self._knn,
                                                   "last_fallback", 0)
@@ -228,6 +234,9 @@ class ExportData:
                 w, idx = self._knn.weights(self._vertices, self._n_neighbors)
                 self._knn_w_vertices = np.asarray(w)
                 self._knn_idx_vertices = np.asarray(idx)
+                self._op_vertices = build_host_operator(
+                    self._knn_w_vertices, self._knn_idx_vertices,
+                    coordinates.reshape(-1, self.n_dimensions).shape[0])
 
         self._initialized_weights = True
 
@@ -304,10 +313,9 @@ class ExportData:
                  else self._centers.shape[0])
             return interpolate_device(w, idx, data, n, self._chunk_size,
                                       timings=self.timings)
-        return interpolate_host(w, idx, data,
-                                **({"chunk_size": self._chunk_size}
-                                   if self._chunk_size else {}),
-                                timings=self.timings)
+        op = (self._op_vertices if w is self._knn_w_vertices
+              else self._op_centers)
+        return interpolate_host(w, idx, data, timings=self.timings, op=op)
 
     # ------------------------------------------------------------------ #
     # HDF5 output                                                         #
