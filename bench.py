@@ -65,6 +65,15 @@ def throughput_metrics(prefix: str, dfm: dict, exp_timings: dict) -> dict:
         out[f"{prefix}epoch_tflops"] = round(tf, 4)
         out[f"{prefix}epoch_mfu_pct"] = round(
             100.0 * tf / V5E_BF16_PEAK_TFLOPS, 4)
+    # retry-escalation ledger: how many device calls the epochs needed and
+    # how much wall the host-driven escalations cost (the fused in-kernel
+    # ring rescue should drive n_calls_ring/full and t_retry_s toward 0)
+    for key in ("n_calls_main", "n_calls_ring", "n_calls_full",
+                "n_bad_cells"):
+        if key in es:
+            out[f"{prefix}{key}"] = int(es[key])
+    if "t_retry_s" in es:
+        out[f"{prefix}t_retry_s"] = round(es["t_retry_s"], 3)
     tk = exp_timings.get("t_kernel", 0.0)
     if tk > 0:
         out[f"{prefix}interp_outputs_per_s"] = round(

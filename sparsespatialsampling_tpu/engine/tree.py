@@ -67,6 +67,12 @@ def _bucket(n: int, minimum: int = 512) -> int:
 # 16 GB v5e even with two chunks in flight: 16384·5 in 2D, 4096·9 in 3D.
 _EPOCH_CHUNK = {2: 16384, 3: 4096}
 
+# Max bad queries rescued by the fused in-program radius-4 ring pass per
+# epoch call (measured c3d: ~125 bad CELLS → ~150-400 bad queries per
+# 4096-cell call); overflows fall back to the host retry escalation.  The
+# ring slab is [R, 9^d, C, d] — 512 rows ≈ 143 MB at C=32 in 3D.
+_RING_RESCUE = 512
+
 
 class BatchedValidity:
     """Jitted, bucket-padded evaluation of cell validity across geometries.
@@ -301,7 +307,10 @@ class SamplingTree:
         # ``_process_new_cells`` calls) — surfaced through bench.py so
         # single-chip perf is judged on throughput/MFU, not wall-clock alone
         self._epoch_stats = {"queries": 0, "gather_bytes": 0.0,
-                             "flops": 0.0, "wall_s": 0.0}
+                             "flops": 0.0, "wall_s": 0.0,
+                             "n_calls_main": 0, "n_calls_ring": 0,
+                             "n_calls_full": 0, "n_bad_cells": 0,
+                             "t_retry_s": 0.0}
         self._epoch_query_cost = (0.0, 0.0)  # (bytes, flops) per padded query
 
     # ------------------------------------------------------------------ #
@@ -402,17 +411,24 @@ class SamplingTree:
         geometries = list(self._geometry)
         n_children = 1 + 2 ** d
 
-        def geometry_and_gain(coords, level, lo, width, gain0, dirs, offsets,
-                              pred, bad):
+        def geometry_invalid(coords, level, lo, width, offsets):
+            h = width / jnp.exp2(level)
+            nodes = lo + (coords[:, None, :] + offsets[None, :, :]) * h[:, None, None]
+            flags = [g.check_cells(nodes, False) for g in geometries]
+            return reduce(operator.or_, flags)
+
+        def gain_tail(level, width, gain0, pred, invalid, bad):
             h = width / jnp.exp2(level)
             pred = pred.reshape(-1, n_children)
             sum_delta = jnp.abs(pred[:, :1] - pred[:, 1:]).sum(axis=1)
             gain = h ** d * sum_delta / (2 ** d) / gain0
-            nodes = lo + (coords[:, None, :] + offsets[None, :, :]) * h[:, None, None]
-            flags = [g.check_cells(nodes, False) for g in geometries]
-            invalid = reduce(operator.or_, flags)
             return jnp.stack([gain, pred[:, 0], invalid.astype(jnp.float32),
                               bad.astype(jnp.float32)], axis=1)
+
+        def geometry_and_gain(coords, level, lo, width, gain0, dirs, offsets,
+                              pred, bad):
+            invalid = geometry_invalid(coords, level, lo, width, offsets)
+            return gain_tail(level, width, gain0, pred, invalid, bad)
 
         def query_centers(coords, level, lo, width, dirs, shift):
             h = width / jnp.exp2(level)
@@ -421,7 +437,7 @@ class SamplingTree:
             queries = jnp.concatenate([centers[:, None, :], child_c], axis=1)
             return (queries - shift).reshape(-1, d)
 
-        return geometry_and_gain, query_centers
+        return geometry_and_gain, query_centers, geometry_invalid, gain_tail
 
     def _epoch_common_args(self):
         return (jnp.asarray(self._lo, dtype=jnp.float32),
@@ -445,7 +461,8 @@ class SamplingTree:
         d = self._n_dimensions
         k = self._n_neighbors
         knn = self._knn
-        geometry_and_gain, query_centers = self._epoch_helpers()
+        geometry_and_gain, query_centers, geometry_invalid, gain_tail = \
+            self._epoch_helpers()
         n_local = knn._n_padded // knn.n_shards
 
         def knn_merge(qflat, points, points_sq):
@@ -574,7 +591,8 @@ class SamplingTree:
         knn = self._knn
         tile_n, tile_q = knn._tile_n, knn._tile_q
         n_children = 1 + 2 ** d
-        geometry_and_gain, query_centers = self._epoch_helpers()
+        geometry_and_gain, query_centers, geometry_invalid, gain_tail = \
+            self._epoch_helpers()
 
         def fn_full(coords, level, lo, width, gain0, dirs, offsets, shift,
                     points, points_sq, values):
@@ -621,17 +639,75 @@ class SamplingTree:
                              qbad, sq, idx, vals)
 
         def fn_grid_dil(coords, level, lo, width, gain0, dirs, offsets,
-                        shift, dil_pts, dil_cand, dil_ovf, dil_vals, origin,
+                        shift, dil_pts, dil_cand, dil_ovf, dil_vals,
+                        cell_pts, cell_vals, cell_list, overflow, origin,
                         inv_h, dims, smat):
             """Dilated layout: one gather slice per query (~4x the effective
-            gather bandwidth of the blocked form on the v5e)."""
+            gather bandwidth of the blocked form on the v5e) — with the
+            radius-4 ring retry FUSED into the same program.
+
+            Near point-cloud holes (obstacle interiors, domain walls) a few
+            queries per iteration fail the 3^d exactness margin; answering
+            them in a separate host-driven retry call cost a full tunnel
+            round trip per refinement iteration (measured ~85 ms/iter, ~40%
+            of the adaptive wall).  Instead, up to ``_RING_RESCUE`` bad
+            queries are re-answered through the blocked (2·4+1)^d
+            neighborhood inside the same jitted call, behind a ``lax.cond``
+            so iterations with no bad query skip the work.  Both paths emit
+            canonical ascending ``(sq, idx)`` plain-f32 distances, so the
+            merged result is bitwise identical to the host-retry escalation
+            it replaces; queries beyond the rescue budget (or failing the
+            ring margin) still mark their cell ``bad`` for the host
+            full-scan path."""
             qflat = query_centers(coords, level, lo, width, dirs, shift)
+            invalid = geometry_invalid(coords, level, lo, width, offsets)
             sq, idx, sel, ok, flat = _dilated_topk(
                 qflat, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
                 smat, k)
             vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
-            return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
-                             ~ok, sq, idx, vals)
+            sq, idx, vals = _sort_neighbors(sq, idx, vals)
+            # invalid cells are removed regardless — never rescue their
+            # queries (mirrors the host retry policy)
+            badq = ~ok & ~jnp.repeat(invalid, n_children)
+            nq = badq.shape[0]
+
+            def do_ring(op):
+                sq, vals, badq = op
+                # deterministic pick of up to _RING_RESCUE bad queries
+                # (ascending query index): bad rows score in (1, 2], good
+                # rows in (-1, 1], both strictly decreasing in index
+                score = (badq.astype(jnp.float32) * 2.0
+                         - jnp.arange(nq, dtype=jnp.float32) / nq)
+                _, rows = jax.lax.top_k(score, _RING_RESCUE)
+                rq = qflat[rows]
+                rflat, rmargin_sq = _grid_neighborhood(
+                    rq, cell_list.shape[0], origin, inv_h, dims, radius=4)
+                cpts = cell_pts[rflat]                  # [R, 9^d, C, d]
+                delta = rq[:, None, None, :] - cpts
+                d2 = jnp.sum(delta * delta, axis=-1).reshape(_RING_RESCUE, -1)
+                top_s, rsel = jax.lax.top_k(-d2, k)
+                rsq = -top_s
+                rbad = ((rsq.max(axis=1) > rmargin_sq)
+                        | _overflow_contaminated(rq, overflow[rflat],
+                                                 rsq.max(axis=1), origin,
+                                                 inv_h, radius=4))
+                ridx = jnp.take_along_axis(
+                    cell_list[rflat].reshape(_RING_RESCUE, -1), rsel, axis=1)
+                rvals = jnp.take_along_axis(
+                    cell_vals[rflat].reshape(_RING_RESCUE, -1), rsel, axis=1)
+                rsq, ridx, rvals = _sort_neighbors(rsq, ridx, rvals)
+                m = badq[rows]
+                sq = sq.at[rows].set(jnp.where(m[:, None], rsq, sq[rows]))
+                vals = vals.at[rows].set(jnp.where(m[:, None], rvals,
+                                                   vals[rows]))
+                badq = badq.at[rows].set(m & rbad)
+                return sq, vals, badq
+
+            sq, vals, badq = jax.lax.cond(badq.any(), do_ring,
+                                          lambda op: op, (sq, vals, badq))
+            pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
+            bad = badq.reshape(-1, n_children).any(axis=1)
+            return gain_tail(level, width, gain0, pred, invalid, bad)
 
         def fn_grid_ring(radius):
             """Wide-neighborhood ((2r+1)^d) retry kernel factory: exact
@@ -695,6 +771,8 @@ class SamplingTree:
                 jit_grid = jax.jit(fn_grid_dil)
                 grid_args = common + (g["dil_pts"], g["dil_cand"],
                                       g["dil_ovf"], g["dil_vals"],
+                                      g["cell_pts"], g["cell_vals"],
+                                      g["cell_list"], g["overflow"],
                                       g["origin"], g["inv_h"], g["dims"],
                                       g["smat"])
             else:
@@ -770,6 +848,7 @@ class SamplingTree:
         st["queries"] += q_disp
         st["gather_bytes"] += q_disp * self._epoch_query_cost[0]
         st["flops"] += q_disp * self._epoch_query_cost[1]
+        st["n_calls_main"] += len(pending)
 
         retry = []
         for part, fut in pending:
@@ -788,15 +867,23 @@ class SamplingTree:
 
         retry_idx = (np.concatenate(retry) if retry
                      else np.zeros(0, dtype=np.int64))
+        st["n_bad_cells"] += int(retry_idx.size)
+        t_retry0 = time()
         if retry_idx.size and self._epoch_fn_ring is not None:
             # first escalation: radius-4 grid neighborhood (exact within
             # ~4h) — resolves hole-adjacent queries without the full scan.
-            # Capped at 256 cells/call (the 9^d blocked-gather temporary).
+            # Capped at 256 cells/call (the 9^d blocked-gather temporary);
+            # all chunks dispatched before any readback so retries cost ONE
+            # tunnel round trip, not one per chunk.
+            ring_pending = [
+                (retry_idx[lo:lo + 256],
+                 dispatch(retry_idx[lo:lo + 256], self._epoch_fn_ring,
+                          minimum=128))
+                for lo in range(0, retry_idx.size, 256)]
+            st["n_calls_ring"] += len(ring_pending)
             still = []
-            for lo in range(0, retry_idx.size, 256):
-                part = retry_idx[lo:lo + 256]
-                out = np.asarray(dispatch(part, self._epoch_fn_ring,
-                                          minimum=128))[:part.size]
+            for part, fut in ring_pending:
+                out = np.asarray(fut)[:part.size]
                 bad2 = (out[:, 3] > 0.5) & ~(out[:, 2] > 0.5)
                 self._apply_epoch_out(part[~bad2], out[~bad2])
                 if bad2.any():
@@ -804,6 +891,7 @@ class SamplingTree:
             retry_idx = (np.concatenate(still) if still
                          else np.zeros(0, dtype=np.int64))
         if retry_idx.size:
+            full_pending = []
             for lo in range(0, retry_idx.size, chunk_size):
                 part = retry_idx[lo:lo + chunk_size]
                 if part.size <= 512:
@@ -811,8 +899,11 @@ class SamplingTree:
                                    minimum=128)
                 else:
                     fut = dispatch(part, self._epoch_fn_full)
-                out = np.asarray(fut)[:part.size]
-                self._apply_epoch_out(part, out)
+                full_pending.append((part, fut))
+            st["n_calls_full"] += len(full_pending)
+            for part, fut in full_pending:
+                self._apply_epoch_out(part, np.asarray(fut)[:part.size])
+        st["t_retry_s"] += time() - t_retry0
         # wall covers main dispatch + readback + retries; bytes/FLOPs count
         # the main kernel only (retries are rare), so the derived
         # throughput is a slight under-estimate — never inflated
@@ -880,17 +971,26 @@ class SamplingTree:
 
     def _refine_uniform(self) -> None:
         """Uniform background refinement (reference ``s_cube.py:508-561``):
-        every sweep splits all alive leaves into 2^d children, then ONE fused
-        device call per sweep computes the children's gain + metric + validity
-        (``_process_new_cells``) — matching the reference's per-sweep updates
-        at one readback per sweep."""
+        every sweep splits all alive leaves into 2^d children.
+
+        Only the LAST sweep runs the fused gain/metric/validity epoch: every
+        alive leaf of an earlier sweep is re-split on the next one, so the
+        intermediate gains and metrics are dead values — the only thing an
+        early sweep must decide is which children are invalid (pruning their
+        subtrees).  Early sweeps therefore run the much cheaper
+        geometry-validity kernel alone (one device call, no k-NN), which
+        also skips the exact-fallback retry escalations near point-cloud
+        holes that k-NN queries of coarse cells trigger."""
         logger.info("Uniform refinement phase.")
         self._times["t_start_uniform"] = time()
         for j in range(self._min_level):
             leaves = self._alive_idx()
             logger.info(f"\tStarting iteration no. {j}, N_cells = {leaves.size}")
             children = self._split(leaves)
-            self._process_new_cells(children)
+            if j < self._min_level - 1:
+                self._remove_invalid_cells(children)
+            else:
+                self._process_new_cells(children)
             self._current_min_level += 1
         logger.info("Finished uniform refinement.")
         self._times["t_end_uniform"] = time()
@@ -1001,6 +1101,11 @@ class SamplingTree:
 
         logger.info("Adaptive (metric-driven) refinement phase.")
         self._times["t_start_adaptive"] = time()
+        # adaptive-loop sub-phase accumulators (seconds) — exposed through
+        # ``data_final_mesh["adaptive_split"]`` so the bench can attribute
+        # the adaptive wall to host selection vs device epochs
+        asplit = {"t_select": 0.0, "t_expand": 0.0, "t_split": 0.0,
+                  "t_epoch": 0.0, "n_iter": 0}
 
         while self._check_stopping_criteria():
             if self._n_cells_max is None:
@@ -1014,12 +1119,21 @@ class SamplingTree:
             if len(self._metric) >= 2:
                 self._compute_n_cells_per_iter()
 
+            t0 = time()
             selected = self._select_top_k(min(self._cells_per_iter, self._n_cells))
+            t1 = time()
             if self._max_delta_level:
                 selected = self._expand_delta_level(selected)
-
+            t2 = time()
             children = self._split(selected)
+            t3 = time()
             self._process_new_cells(children)
+            t4 = time()
+            asplit["t_select"] += t1 - t0
+            asplit["t_expand"] += t2 - t1
+            asplit["t_split"] += t3 - t2
+            asplit["t_epoch"] += t4 - t3
+            asplit["n_iter"] += 1
 
             if self._n_cells_max is None:
                 self._captured_metric()
@@ -1028,6 +1142,9 @@ class SamplingTree:
 
         if self._n_cells_max is not None:
             self._captured_metric()
+        self._times["adaptive_split"] = {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in asplit.items()}
 
         logger.info("Finished metric-based refinement.")
 
@@ -1179,6 +1296,8 @@ class SamplingTree:
                                                  - self._times["t_start_renumber"])
         self.data_final_mesh["renumber_split"] = self._times.get(
             "renumber_split", {})
+        self.data_final_mesh["adaptive_split"] = self._times.get(
+            "adaptive_split", {})
         if self._times["t_end_geometry"] > 0:
             self.data_final_mesh["t_geometry"] = (self._times["t_end_geometry"]
                                                   - self._times["t_start_geometry"])
