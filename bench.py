@@ -353,10 +353,20 @@ def main():
     }
     out.update(throughput_metrics("", s3.data_final_mesh, exp.timings))
     out.update(throughput_metrics("c3d_", c3d.data_final_mesh, c3d_exp_t))
+    # adaptive-loop attribution: host selection vs device epoch wall
+    for k, v in (c3d.data_final_mesh.get("adaptive_split") or {}).items():
+        out[f"c3d_adaptive_{k}"] = v
 
     # -- workload 3: STL obstacle at the reference's 5e4-triangle scale ---
-    s3_stl, n_tri, t_stl = run_stl(tmp)
+    # same two-run protocol as c3d: run1 pays the fresh compiles of the
+    # winding/sign-grid kernels over the tunnel, run2 shows steady state;
+    # both raw totals reported, the better one broken down
+    stl_runs = [run_stl(tmp) for _ in range(2)]
+    best_stl = int(np.argmin([r[2] for r in stl_runs]))
+    s3_stl, n_tri, t_stl = stl_runs[best_stl]
     out.update({
+        "stl_run1_s": round(stl_runs[0][2], 3),
+        "stl_run2_s": round(stl_runs[1][2], 3),
         "stl_refine_s": round(t_stl, 3),
         "stl_n_triangles": int(n_tri),
         "stl_n_cells": int(s3_stl.faces.shape[0]),
@@ -365,6 +375,7 @@ def main():
         "stl_geometry_s": (round(s3_stl.data_final_mesh["t_geometry"], 3)
                            if s3_stl.data_final_mesh["t_geometry"] else None),
     })
+    out.update(throughput_metrics("stl_", s3_stl.data_final_mesh, {}))
     print(json.dumps(out))
 
 

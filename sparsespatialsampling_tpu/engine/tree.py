@@ -69,9 +69,11 @@ _EPOCH_CHUNK = {2: 16384, 3: 4096}
 
 # Max bad queries rescued by the fused in-program radius-4 ring pass per
 # epoch call (measured c3d: ~125 bad CELLS → ~150-400 bad queries per
-# 4096-cell call); overflows fall back to the host retry escalation.  The
-# ring slab is [R, 9^d, C, d] — 512 rows ≈ 143 MB at C=32 in 3D.
-_RING_RESCUE = 512
+# 4096-cell call; STL geometry refinement clusters every cell at the
+# surface hole and overflowed 512).  Overflows fall back to the host retry
+# escalation.  The ring slab is [R, 9^d, C, d] — 1024 rows ≈ 286 MB at
+# C=32 in 3D.
+_RING_RESCUE = 1024
 
 
 class BatchedValidity:

@@ -248,44 +248,55 @@ def build_fast_winding(triangles: np.ndarray) -> dict:
     }
 
 
+def _fw_offsets():
+    rng = np.arange(-_FW_RADIUS, _FW_RADIUS + 1)
+    offs = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"),
+                    axis=-1).reshape(-1, 3)
+    return jnp.asarray(offs, dtype=jnp.int32)
+
+
+def _fw_one_chunk(pts, cell_tris, v0, v1, v2, resid, clus_cell, clus_cent,
+                  clus_an, origin, inv_h, dims, offs):
+    """One query chunk of the two-level fast winding number: near field +
+    residual exact, far field first-order dipole."""
+    q = pts.shape[0]
+    n_cells_total = cell_tris.shape[0]
+    rv0, rv1, rv2 = v0[resid], v1[resid], v2[resid]                # [R, 3]
+    cc = jnp.floor((pts - origin) * inv_h).astype(jnp.int32)       # [q, 3]
+    nb = cc[:, None, :] + offs[None, :, :]                         # [q, R, 3]
+    valid = jnp.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)
+    flat = nb[..., 0]
+    for ax in range(1, 3):
+        flat = flat * dims[ax] + nb[..., ax]
+    flat = jnp.where(valid, flat, n_cells_total - 1)
+    cand = cell_tris[flat].reshape(q, -1)                          # [q, R·C]
+    w_near = _omega(pts, v0[cand], v1[cand], v2[cand])
+    w_resid = _omega(pts,
+                     jnp.broadcast_to(rv0, (q,) + rv0.shape),
+                     jnp.broadcast_to(rv1, (q,) + rv1.shape),
+                     jnp.broadcast_to(rv2, (q,) + rv2.shape))
+    # far-field: all occupied clusters OUTSIDE the exact neighborhood
+    near = (jnp.abs(clus_cell[None, :, :] - cc[:, None, :])
+            <= _FW_RADIUS).all(-1)                                 # [q, K]
+    dvec = clus_cent[None, :, :] - pts[:, None, :]                 # [q, K, 3]
+    d2 = jnp.sum(dvec * dvec, axis=-1)
+    d3 = jnp.maximum(d2, 1e-20) * jnp.sqrt(jnp.maximum(d2, 1e-20))
+    dip = jnp.einsum("qkd,kd->qk", dvec, clus_an) / d3
+    w_far = jnp.where(near, 0.0, dip).sum(axis=-1)
+    return (w_near + w_resid + w_far) / (4.0 * jnp.pi)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def _fast_winding(points, cell_tris, v0, v1, v2, resid, clus_cell,
                   clus_cent, clus_an, origin, inv_h, dims,
                   chunk: int = _FW_CHUNK):
     """Fast winding number: ``points [M, 3]`` (M a multiple of ``chunk``) →
-    ``[M]`` float32. Near field + residual exact, far field first-order
-    dipole."""
-    n_cells_total = cell_tris.shape[0]
-    rng = np.arange(-_FW_RADIUS, _FW_RADIUS + 1)
-    offs = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"),
-                    axis=-1).reshape(-1, 3)
-    offs = jnp.asarray(offs, dtype=jnp.int32)
-    rv0, rv1, rv2 = v0[resid], v1[resid], v2[resid]                # [R, 3]
+    ``[M]`` float32."""
+    offs = _fw_offsets()
 
     def one_chunk(pts):
-        q = pts.shape[0]
-        cc = jnp.floor((pts - origin) * inv_h).astype(jnp.int32)   # [q, 3]
-        nb = cc[:, None, :] + offs[None, :, :]                     # [q, R, 3]
-        valid = jnp.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)
-        flat = nb[..., 0]
-        for ax in range(1, 3):
-            flat = flat * dims[ax] + nb[..., ax]
-        flat = jnp.where(valid, flat, n_cells_total - 1)
-        cand = cell_tris[flat].reshape(q, -1)                      # [q, R·C]
-        w_near = _omega(pts, v0[cand], v1[cand], v2[cand])
-        w_resid = _omega(pts,
-                         jnp.broadcast_to(rv0, (q,) + rv0.shape),
-                         jnp.broadcast_to(rv1, (q,) + rv1.shape),
-                         jnp.broadcast_to(rv2, (q,) + rv2.shape))
-        # far-field: all occupied clusters OUTSIDE the exact neighborhood
-        near = (jnp.abs(clus_cell[None, :, :] - cc[:, None, :])
-                <= _FW_RADIUS).all(-1)                             # [q, K]
-        dvec = clus_cent[None, :, :] - pts[:, None, :]             # [q, K, 3]
-        d2 = jnp.sum(dvec * dvec, axis=-1)
-        d3 = jnp.maximum(d2, 1e-20) * jnp.sqrt(jnp.maximum(d2, 1e-20))
-        dip = jnp.einsum("qkd,kd->qk", dvec, clus_an) / d3
-        w_far = jnp.where(near, 0.0, dip).sum(axis=-1)
-        return (w_near + w_resid + w_far) / (4.0 * jnp.pi)
+        return _fw_one_chunk(pts, cell_tris, v0, v1, v2, resid, clus_cell,
+                             clus_cent, clus_an, origin, inv_h, dims, offs)
 
     m = points.shape[0]
     return jax.lax.map(one_chunk,
@@ -318,6 +329,198 @@ def _winding_number(points, v0, v1, v2, chunk: int = _POINT_CHUNK):
 
     m = points.shape[0]
     return jax.lax.map(one_chunk, points.reshape(m // chunk, chunk, 3)).reshape(m)
+
+
+# --------------------------------------------------------------------- #
+# voxel sign grid: O(1) inside-tests away from the surface              #
+# --------------------------------------------------------------------- #
+# Refinement evaluates winding numbers for EVERY new cell's corner nodes
+# each epoch, and both exact paths are O(T) per query — at the reference's
+# 5e4-triangle guidance (geometry_STL_3d.py:161-166) the STL check dominated
+# the whole refinement wall.  But almost all of those queries sit far from
+# the surface, where the answer is constant per voxel.  The sign grid
+# classifies every voxel ONCE at construction (far voxels by the cluster
+# dipole, the free shell by flood fill) so a query costs one int8 gather;
+# only the thin near-surface band falls through to exact winding, and a
+# whole query chunk skips the exact sweep via lax.cond when none of its
+# queries are in the band.
+_SG_MAX_VOX = 2_000_000
+_SG_SEED_CD = 3      # seeds: Chebyshev ≥ _SG_SEED_CD+1 voxels from occupancy
+_SG_CHUNK = 8192
+
+
+def _dilate_box(a: np.ndarray) -> np.ndarray:
+    """One-step 26-connectivity (Chebyshev) box dilation of a 3D bool array
+    (separable per axis, no wraparound)."""
+    for ax in range(3):
+        out = a.copy()
+        sl_lo = [slice(None)] * 3
+        sl_hi = [slice(None)] * 3
+        sl_lo[ax] = slice(1, None)
+        sl_hi[ax] = slice(None, -1)
+        out[tuple(sl_lo)] |= a[tuple(sl_hi)]
+        out[tuple(sl_hi)] |= a[tuple(sl_lo)]
+        a = out
+    return a
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _dipole_winding(points, clus_cent, clus_an, chunk: int = _SG_CHUNK):
+    """First-order (cluster dipole) winding estimate — the same far-field
+    term ``_fw_one_chunk`` uses beyond 2h separation (error O((r/d)^2),
+    Barill et al. 2018); valid here because callers only pass points
+    ≥ ~2.5h from every triangle."""
+
+    def one_chunk(pts):
+        dvec = clus_cent[None, :, :] - pts[:, None, :]
+        d2 = jnp.sum(dvec * dvec, axis=-1)
+        d3 = jnp.maximum(d2, 1e-20) * jnp.sqrt(jnp.maximum(d2, 1e-20))
+        dip = jnp.einsum("qkd,kd->qk", dvec, clus_an) / d3
+        return dip.sum(axis=-1) / (4.0 * jnp.pi)
+
+    m = points.shape[0]
+    return jax.lax.map(one_chunk,
+                       points.reshape(m // chunk, chunk, 3)).reshape(m)
+
+
+def build_sign_grid(triangles: np.ndarray) -> dict:
+    """Per-voxel inside/outside classification of the space around an STL
+    surface. Returns int8 ``state`` per voxel: 0 = outside, 1 = inside,
+    2 = near-surface (query needs exact winding).
+
+    Voxels are sized so a triangle reaches at most one voxel beyond its
+    centroid's (``h ≥ 2·r_max``): any voxel NOT 26-adjacent to a
+    centroid-occupied voxel is surface-free, hence uniformly inside or
+    outside.  Far free voxels (Chebyshev ≥ ``_SG_SEED_CD+1`` from occupancy,
+    i.e. ≥ ~2.5h from any triangle) are classified by the cluster-dipole
+    winding sum in one device call; the remaining free shell inherits its
+    sign by flood fill through face-adjacent free voxels — a path between
+    face-adjacent surface-free voxels provably cannot cross the surface.
+    Free voxels unreachable from any seed (e.g. gaps narrower than ~5
+    voxels between two surfaces) stay ``2`` and fall back to exact
+    evaluation, so approximation never affects correctness-critical bands."""
+    tris = np.asarray(triangles, dtype=np.float64)
+    cent = tris.mean(axis=1)
+    area_n = 0.5 * np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    r_max = float(np.linalg.norm(tris - cent[:, None, :], axis=-1).max())
+    lo_c = cent.min(axis=0)
+    extent = np.maximum(cent.max(axis=0) - lo_c, 1e-12)
+    h = max(2.0 * r_max, float(extent.max()) / 256.0, 1e-12)
+    while np.prod(np.ceil(extent / h).astype(np.int64) + 3) > _SG_MAX_VOX:
+        h *= 1.26
+    dims = np.ceil(extent / h).astype(np.int64) + 3   # +1 round, +2 pad rings
+    origin = lo_c - h
+
+    cc = np.floor((cent - origin) / h).astype(np.int64)
+    occ3 = np.zeros(dims, dtype=bool)
+    occ3[cc[:, 0], cc[:, 1], cc[:, 2]] = True
+    band = _dilate_box(occ3)                    # voxels a triangle can touch
+    nearz = band
+    for _ in range(_SG_SEED_CD - 1):
+        nearz = _dilate_box(nearz)
+    seeds3 = ~_dilate_box(nearz)                # cd ≥ _SG_SEED_CD+1 from occ
+
+    # per-occupied-voxel dipole clusters (area-weighted centroid + summed
+    # area normals — aggregates only, no triangle capacity cap needed)
+    n_vox = int(np.prod(dims))
+    flat = (cc[:, 0] * dims[1] + cc[:, 1]) * dims[2] + cc[:, 2]
+    cw = np.maximum(np.abs(area_n).sum(axis=1), 1e-30)
+    sums = np.zeros((n_vox, 3))
+    wsum = np.zeros(n_vox)
+    an_sum = np.zeros((n_vox, 3))
+    np.add.at(sums, flat, cent * cw[:, None])
+    np.add.at(wsum, flat, cw)
+    np.add.at(an_sum, flat, area_n)
+    occ_ids = np.nonzero(wsum > 0)[0]
+    k_pad = 1 << int(max(len(occ_ids), 1) - 1).bit_length()
+    clus_cent = np.full((k_pad, 3), 1e6, dtype=np.float32)
+    clus_an = np.zeros((k_pad, 3), dtype=np.float32)
+    clus_cent[:len(occ_ids)] = sums[occ_ids] / wsum[occ_ids, None]
+    clus_an[:len(occ_ids)] = an_sum[occ_ids]
+
+    # classify the far seeds with ONE chunked device sweep
+    state3 = np.full(tuple(dims), 2, dtype=np.int8)
+    seed_idx = np.nonzero(seeds3.ravel())[0]
+    if seed_idx.size:
+        si = np.stack(np.unravel_index(seed_idx, dims), axis=1)
+        pts = (origin + (si + 0.5) * h).astype(np.float32)
+        m_pad = max(_SG_CHUNK,
+                    1 << int(len(pts) - 1).bit_length())  # pow2 → few shapes
+        if m_pad != len(pts):
+            pts = np.concatenate(
+                [pts, np.full((m_pad - len(pts), 3), 1e6, np.float32)])
+        w = np.asarray(_dipole_winding(
+            jnp.asarray(pts), jnp.asarray(clus_cent),
+            jnp.asarray(clus_an)))[:seed_idx.size]
+        state3.ravel()[seed_idx] = (w > 0.5).astype(np.int8)
+
+    # flood-fill the free shell between seeds and band (6-connectivity:
+    # band voxels carry 2 and never propagate; min() is conflict-free since
+    # a connected free region has one sign)
+    free = ~band
+    for _ in range(64):
+        unknown = free & (state3 == 2)
+        if not unknown.any():
+            break
+        best = np.full(tuple(dims), 2, dtype=np.int8)
+        for ax in range(3):
+            sl_lo = [slice(None)] * 3
+            sl_hi = [slice(None)] * 3
+            sl_lo[ax] = slice(1, None)
+            sl_hi[ax] = slice(None, -1)
+            np.minimum(best[tuple(sl_lo)], state3[tuple(sl_hi)],
+                       out=best[tuple(sl_lo)])
+            np.minimum(best[tuple(sl_hi)], state3[tuple(sl_lo)],
+                       out=best[tuple(sl_hi)])
+        adopt = unknown & (best < 2)
+        if not adopt.any():
+            break
+        state3[adopt] = best[adopt]
+
+    n_near = int((state3 == 2).sum())
+    return {"state": jnp.asarray(state3.ravel()),
+            "origin": jnp.asarray(origin, dtype=jnp.float32),
+            "inv_h": jnp.float32(1.0 / h),
+            "dims": jnp.asarray(dims, dtype=jnp.int32),
+            "n_near_vox": n_near, "n_vox": n_vox}
+
+
+def _make_sign_mask_fn(use_fw: bool, chunk: int):
+    """Jitted inside-test routed through the sign grid: one int8 gather per
+    query; a chunk falls through to the exact winding evaluation only when
+    at least one of its queries sits in the near-surface band (lax.cond)."""
+    offs = _fw_offsets() if use_fw else None
+
+    def fn(pts, state, origin, inv_h, dims, *exact):
+        def one_chunk(p):
+            cc = jnp.floor((p - origin) * inv_h).astype(jnp.int32)
+            inb = jnp.logical_and(cc >= 0, cc < dims[None, :]).all(-1)
+            ccl = jnp.clip(cc, 0, dims[None, :] - 1)
+            flat = (ccl[:, 0] * dims[1] + ccl[:, 1]) * dims[2] + ccl[:, 2]
+            st = jnp.where(inb, state[flat], jnp.int8(0))
+            near = st == jnp.int8(2)
+
+            def exact_w(_):
+                if use_fw:
+                    return _fw_one_chunk(p, *exact, offs)
+                v0, v1, v2 = exact
+                q = p.shape[0]
+                return _omega(p,
+                              jnp.broadcast_to(v0[None], (q,) + v0.shape),
+                              jnp.broadcast_to(v1[None], (q,) + v1.shape),
+                              jnp.broadcast_to(v2[None], (q,) + v2.shape)
+                              ) / (4.0 * jnp.pi)
+
+            w = jax.lax.cond(near.any(), exact_w,
+                             lambda _: jnp.zeros(p.shape[0], jnp.float32),
+                             None)
+            return jnp.where(near, w > 0.5, st == jnp.int8(1))
+
+        m = pts.shape[0]
+        return jax.lax.map(one_chunk,
+                           pts.reshape(m // chunk, chunk, 3)).reshape(m)
+
+    return jax.jit(fn)
 
 
 class GeometrySTL3D(GeometryObject):
@@ -364,24 +567,40 @@ class GeometrySTL3D(GeometryObject):
         # field exactly and the far field by cluster dipoles
         self._fw = (build_fast_winding(self._triangles)
                     if self._triangles.shape[0] >= _FW_MIN_TRIS else None)
+        # voxel sign grid: answers queries away from the surface with one
+        # int8 gather; only the near-surface band pays an exact sweep
+        self._sg = build_sign_grid(self._triangles)
+        logger.info(
+            f"STL sign grid for geometry {name}: "
+            f"{self._sg['n_near_vox']}/{self._sg['n_vox']} voxels need "
+            f"exact winding evaluation.")
+        use_fw = self._fw is not None
+        self._mask_chunk = _FW_CHUNK if use_fw else _POINT_CHUNK
+        if use_fw:
+            fw = self._fw
+            self._exact_args = (fw["cell_tris"], fw["v0"], fw["v1"],
+                                fw["v2"], fw["resid"], fw["clus_cell"],
+                                fw["clus_cent"], fw["clus_an"], fw["origin"],
+                                fw["inv_h"], fw["dims"])
+        else:
+            self._exact_args = (self._v0, self._v1, self._v2)
+        # cached jitted callable (rebuilding it per call would re-trace);
+        # all arrays are passed as arguments, never closed over
+        self._mask_fn = _make_sign_mask_fn(use_fw, self._mask_chunk)
 
     def mask_points(self, points):
-        chunk = _FW_CHUNK if self._fw is not None else _POINT_CHUNK
+        chunk = self._mask_chunk
         pts = jnp.asarray(points, dtype=jnp.float32)
         m = pts.shape[0]
         m_pad = -(-m // chunk) * chunk
         if m_pad != m:
+            # pad far outside the grid: padding must never register as
+            # near-surface, or it would force exact sweeps on its chunk
             pts = jnp.concatenate(
-                [pts, jnp.zeros((m_pad - m, 3), dtype=pts.dtype)], axis=0)
-        if self._fw is not None:
-            fw = self._fw
-            w = _fast_winding(pts, fw["cell_tris"], fw["v0"], fw["v1"],
-                              fw["v2"], fw["resid"], fw["clus_cell"],
-                              fw["clus_cent"], fw["clus_an"], fw["origin"],
-                              fw["inv_h"], fw["dims"])[:m]
-        else:
-            w = _winding_number(pts, self._v0, self._v1, self._v2)[:m]
-        inside = w > 0.5
+                [pts, jnp.full((m_pad - m, 3), 1e6, dtype=pts.dtype)], axis=0)
+        inside = self._mask_fn(pts, self._sg["state"], self._sg["origin"],
+                               self._sg["inv_h"], self._sg["dims"],
+                               *self._exact_args)[:m]
         # bbox pre-filter keeps far-away points robustly outside
         in_bbox = jnp.logical_and(
             jnp.asarray(points) >= jnp.asarray(self._lower_bound),
@@ -390,6 +609,19 @@ class GeometrySTL3D(GeometryObject):
 
     def bounding_box(self):
         return self._lower_bound, self._upper_bound
+
+    # the cached jitted mask callable is a local closure — rebuild it on
+    # unpickle instead of serializing it (checkpoints pickle the whole
+    # facade object, reference ``sparse_spatial_sampling.py:146``)
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop("_mask_fn", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._mask_fn = _make_sign_mask_fn(self._fw is not None,
+                                           self._mask_chunk)
 
     def _check_geometry(self) -> None:
         assert self._triangles.shape[0] > 0, \

@@ -429,3 +429,48 @@ class TestFastWinding:
                           [0.5, 0.3, 0.3], [0.2, 0.2, 0.249]])
         mask = np.asarray(g.mask_points(pts))
         assert mask.tolist() == [True, False, False, True]
+
+
+class TestSignGrid:
+    """The voxel sign grid answers far-from-surface queries with one int8
+    gather; its classification must be indistinguishable from the exact
+    winding sweep for EVERY query (near-band queries fall through to the
+    exact path, so the combined result is exact everywhere)."""
+
+    @pytest.fixture(scope="class")
+    def sphere_geometry(self, tmp_path_factory):
+        import sys
+        from os.path import dirname
+        sys.path.insert(0, dirname(dirname(__file__)))
+        from bench import synthetic_sphere_stl
+        path = str(tmp_path_factory.mktemp("sg") / "sphere.stl")
+        synthetic_sphere_stl(path, n_lat=60, n_lon=48)
+        return GeometrySTL3D("sphere", False, path)
+
+    def test_grid_has_far_coverage(self, sphere_geometry):
+        sg = sphere_geometry._sg
+        # most voxels must be decided (only the surface band needs exact)
+        assert sg["n_near_vox"] < sg["n_vox"]
+        assert sg["n_near_vox"] > 0
+
+    def test_mask_matches_exact_winding(self, sphere_geometry):
+        import jax.numpy as jnp
+        from sparsespatialsampling_tpu.geometry import stl as S
+        g = sphere_geometry
+        rng = np.random.default_rng(11)
+        # inside, outside, and shell-straddling queries (sphere r=0.05 at
+        # (0.2, 0.2, 0.2)), plus far out-of-grid points
+        pts = np.concatenate([
+            rng.uniform(0.1, 0.3, size=(4000, 3)),
+            0.2 + rng.normal(size=(1000, 3)) * 0.05,
+            rng.uniform(-2.0, 3.0, size=(200, 3)),
+        ]).astype(np.float32)
+        got = np.asarray(g.mask_points(pts))
+        m = len(pts)
+        pad = -(-m // S._POINT_CHUNK) * S._POINT_CHUNK
+        pp = np.full((pad, 3), 1e6, np.float32)
+        pp[:m] = pts
+        w = np.asarray(S._winding_number(jnp.asarray(pp), g._v0, g._v1,
+                                         g._v2))[:m]
+        in_bbox = ((pts >= g._lower_bound) & (pts <= g._upper_bound)).all(-1)
+        np.testing.assert_array_equal(got, (w > 0.5) & in_bbox)
