@@ -72,8 +72,9 @@ def throughput_metrics(prefix: str, dfm: dict, exp_timings: dict) -> dict:
                 "n_bad_cells"):
         if key in es:
             out[f"{prefix}{key}"] = int(es[key])
-    if "t_retry_s" in es:
-        out[f"{prefix}t_retry_s"] = round(es["t_retry_s"], 3)
+    for key in ("t_retry_s", "t_dispatch_s", "t_readback_s"):
+        if key in es:
+            out[f"{prefix}{key}"] = round(es[key], 3)
     tk = exp_timings.get("t_kernel", 0.0)
     if tk > 0:
         out[f"{prefix}interp_outputs_per_s"] = round(

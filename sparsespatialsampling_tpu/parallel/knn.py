@@ -16,7 +16,7 @@ from jax import shard_map
 
 from .mesh import CELL_AXIS, pad_to_multiple
 from ..ops.knn import (MAX_QUERY_CHUNK, _bucket_pow2, _sort_neighbors,
-                       _plan_grid, _grid_neighbor_table, _group_sum_matrix)
+                       _plan_grid, _grid_neighbor_table)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -110,7 +110,6 @@ class ShardedKNNIndex:
             "origin": jnp.asarray(plan["origin"], dtype=jnp.float32),
             "inv_h": jnp.float32(1.0 / plan["h"]),
             "dims": jnp.asarray(plan["dims"], dtype=jnp.int32),
-            "smat": jnp.asarray(_group_sum_matrix(C, d)),
             "dil_pts": jax.device_put(dil_pts, shard),
             "dil_cand": jax.device_put(dil_cand, shard),
             "dil_ovf": jax.device_put(dil_ovf, shard),
