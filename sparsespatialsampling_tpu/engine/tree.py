@@ -245,6 +245,9 @@ class SamplingTree:
         # still gates the host-side ``BatchedValidity`` paths (geometry
         # refinement, deep-level float64 fallback).
         self._epoch_fn = None
+        self._dil_core = None           # device-loop epoch core (dil path)
+        self._dil_core_args = None
+        self._device_loops = {}         # (cap, k_max) -> jitted loop fn
 
         # flat cell arrays (append-only; index == creation order == tie-break)
         self._cap = 4096
@@ -673,6 +676,7 @@ class SamplingTree:
             # queries (mirrors the host retry policy)
             badq = ~ok & ~jnp.repeat(invalid, n_children)
             nq = badq.shape[0]
+            rr = min(_RING_RESCUE, nq)
 
             def do_ring(op):
                 sq, vals, badq, eligible = op
@@ -683,13 +687,13 @@ class SamplingTree:
                 cand = badq & eligible
                 score = (cand.astype(jnp.float32) * 2.0
                          - jnp.arange(nq, dtype=jnp.float32) / nq)
-                _, rows = jax.lax.top_k(score, _RING_RESCUE)
+                _, rows = jax.lax.top_k(score, rr)
                 rq = qflat[rows]
                 rflat, rmargin_sq = _grid_neighborhood(
                     rq, cell_list.shape[0], origin, inv_h, dims, radius=4)
                 cpts = cell_pts[rflat]                  # [R, 9^d, C, d]
                 delta = rq[:, None, None, :] - cpts
-                d2 = jnp.sum(delta * delta, axis=-1).reshape(_RING_RESCUE, -1)
+                d2 = jnp.sum(delta * delta, axis=-1).reshape(rr, -1)
                 top_s, rsel = jax.lax.top_k(-d2, k)
                 rsq = -top_s
                 rbad = ((rsq.max(axis=1) > rmargin_sq)
@@ -697,9 +701,9 @@ class SamplingTree:
                                                  rsq.max(axis=1), origin,
                                                  inv_h, radius=4))
                 ridx = jnp.take_along_axis(
-                    cell_list[rflat].reshape(_RING_RESCUE, -1), rsel, axis=1)
+                    cell_list[rflat].reshape(rr, -1), rsel, axis=1)
                 rvals = jnp.take_along_axis(
-                    cell_vals[rflat].reshape(_RING_RESCUE, -1), rsel, axis=1)
+                    cell_vals[rflat].reshape(rr, -1), rsel, axis=1)
                 rsq, ridx, rvals = _sort_neighbors(rsq, ridx, rvals)
                 m = cand[rows]
                 sq = sq.at[rows].set(jnp.where(m[:, None], rsq, sq[rows]))
@@ -790,6 +794,9 @@ class SamplingTree:
                                       g["cell_pts"], g["cell_vals"],
                                       g["cell_list"], g["overflow"],
                                       g["origin"], g["inv_h"], g["dims"])
+                # traced core + args for the device-resident adaptive loop
+                self._dil_core = fn_grid_dil
+                self._dil_core_args = grid_args
             else:
                 jit_grid = jax.jit(fn_grid)
                 grid_args = common + (g["cell_pts"], g["cell_vals"],
@@ -842,18 +849,8 @@ class SamplingTree:
         if d == 3 and g is not None and g.get("C", 64) <= 32:
             chunk_size *= 2
 
-        def dispatch(part, fn, minimum=1024):
-            m = part.size
-            # M*(1+2^d) must stay a multiple of the k-NN query tile (the
-            # tile is 1024 for the main kernels, 128 for the retry variant)
-            mp = _bucket(m, minimum=minimum)
-            coords = np.zeros((mp, d), dtype=np.float32)
-            coords[:m] = self._coords[part]
-            level = np.zeros(mp, dtype=np.float32)
-            level[:m] = self._level[part]
-            return fn(jnp.asarray(coords), jnp.asarray(level))
-
         t_epoch0 = time()
+        dispatch = self._dispatch_epoch
         pending = [(idx[lo:lo + chunk_size],
                     dispatch(idx[lo:lo + chunk_size], self._epoch_fn))
                    for lo in range(0, idx.size, chunk_size)]
@@ -885,8 +882,33 @@ class SamplingTree:
         retry_idx = (np.concatenate(retry) if retry
                      else np.zeros(0, dtype=np.int64))
         st["t_readback_s"] += time() - t_rb0
+        self._resolve_retries(retry_idx, chunk_size)
+        # wall covers main dispatch + readback + retries; bytes/FLOPs count
+        # the main kernel only (retries are rare), so the derived
+        # throughput is a slight under-estimate — never inflated
+        st["wall_s"] += time() - t_epoch0
+
+    def _dispatch_epoch(self, part: np.ndarray, fn, minimum: int = 1024):
+        """Bucket-pad one cell batch and dispatch an epoch kernel on it.
+        M*(1+2^d) must stay a multiple of the k-NN query tile (the tile is
+        1024 for the main kernels, 128 for the retry variants)."""
+        d = self._n_dimensions
+        m = part.size
+        mp = _bucket(m, minimum=minimum)
+        coords = np.zeros((mp, d), dtype=np.float32)
+        coords[:m] = self._coords[part]
+        level = np.zeros(mp, dtype=np.float32)
+        level[:m] = self._level[part]
+        return fn(jnp.asarray(coords), jnp.asarray(level))
+
+    def _resolve_retries(self, retry_idx: np.ndarray, chunk_size: int) -> None:
+        """Host escalation for cells whose grid kNN could not be answered
+        exactly in-kernel: radius-4 ring retry, then the full scan.  Shared
+        by the per-iteration host loop and the device-resident loop."""
+        st = self._epoch_stats
         st["n_bad_cells"] += int(retry_idx.size)
         t_retry0 = time()
+        dispatch = self._dispatch_epoch
         if retry_idx.size and self._epoch_fn_ring is not None:
             # first escalation: radius-4 grid neighborhood (exact within
             # ~4h) — resolves hole-adjacent queries without the full scan.
@@ -922,10 +944,6 @@ class SamplingTree:
             for part, fut in full_pending:
                 self._apply_epoch_out(part, np.asarray(fut)[:part.size])
         st["t_retry_s"] += time() - t_retry0
-        # wall covers main dispatch + readback + retries; bytes/FLOPs count
-        # the main kernel only (retries are rare), so the derived
-        # throughput is a slight under-estimate — never inflated
-        st["wall_s"] += time() - t_epoch0
 
     def _apply_epoch_out(self, part: np.ndarray, out: np.ndarray) -> None:
         if part.size == 0:
@@ -966,8 +984,7 @@ class SamplingTree:
         for a static point cloud), so this is one reduction instead of the
         reference's full re-prediction over all leaves per iteration
         (``s_cube.py:317-336``)."""
-        alive = self._alive_idx()
-        ratio = float(np.sqrt(np.square(self._metric_arr[alive]).sum()) / self._target_norm)
+        ratio = self._captured_metric_value()
         self._metric.append(ratio)
         return ratio
 
@@ -1106,6 +1123,302 @@ class SamplingTree:
             frontier = np.asarray(sorted(new), dtype=np.int64)
         return np.asarray(sorted(to_refine), dtype=np.int64)
 
+    # ------------------------------------------------------------------ #
+    # device-resident adaptive loop                                       #
+    # ------------------------------------------------------------------ #
+    # The per-iteration host loop pays one tunnel round trip (~36-56 ms
+    # healthy, 100-300 ms in degraded phases) per adaptive iteration —
+    # measured ~70% of the refine wall once the kernels were fast.  This
+    # path moves the WHOLE iteration (ramp, top-k selection, split, fused
+    # epoch, captured-metric stopping) into one ``lax.while_loop`` on
+    # device: up to ``_DEVICE_LOOP_ITERS`` iterations run per dispatch and
+    # the host reads state back ONCE.  Semantics mirror the host loop
+    # exactly — same ramp/stopping formulas, same (gain desc, index asc)
+    # selection tie-break (lax.top_k is stable), same child ordering
+    # (parents ascending by creation index) — so both paths grow identical
+    # trees; the loop EXITS to the host whenever anything it cannot handle
+    # exactly appears (a cell whose kNN failed the fused ring rescue, the
+    # float64 deep-level regime, a per-iter budget above the compiled
+    # bound), the host resolves it with the existing escalation, and the
+    # loop re-enters.  Captured metrics accumulate in f32 on device (host:
+    # numpy f64 over f32 values) — stopping thresholds are 1e-3-scale, so
+    # the ~1e-7 difference only matters if a run sits exactly on a
+    # threshold boundary.
+    _DEVICE_LOOP_ITERS = 64
+    _DEVICE_LEVEL_CAP = 22
+
+    def _adaptive_device_eligible(self) -> bool:
+        import os
+        return (not self._max_delta_level and self._mesh is None
+                and self._dil_core is not None
+                and os.environ.get("S3_TPU_DEVICE_LOOP", "1") != "0")
+
+    def _device_loop_kmax(self) -> int:
+        """Static upper bound on ``cells_per_iter`` over the whole run (the
+        in-loop top-k needs a static width; the dynamic budget masks it).
+        The ramp is linear in ``current_x``, so its extrema lie at the
+        interval endpoints; 1.05 covers metric over-approximation."""
+        start, end = self._cells_per_iter_start, self._cells_per_iter_end
+        if self._n_cells_max is not None:
+            return max(int(start), 1)
+        m0 = self._metric[0] if self._metric else 0.0
+        delta_x = self._min_metric - m0
+        vals = [float(start)]
+        if abs(delta_x) > 1e-12:
+            for cx in (m0, 1.05):
+                vals.append(start - (start - end) / delta_x * cx)
+        return max(int(max(vals)), 1)
+
+    def _build_device_loop(self, cap: int, k_max: int):
+        key = (cap, k_max)
+        if key in self._device_loops:
+            return self._device_loops[key]
+        d = self._n_dimensions
+        n_ch = 2 ** d
+        n_q = 1 + n_ch
+        iters_cap = self._DEVICE_LOOP_ITERS
+        lev_cap = self._DEVICE_LEVEL_CAP
+        core = self._dil_core
+        metric_mode = self._n_cells_max is None
+        offsets_i = jnp.asarray(self._offsets, dtype=jnp.int32)
+
+        def loop_fn(state, params, *epoch_args):
+            def stop_continue(s):
+                """Mirror of ``_check_stopping_criteria`` (host float64 →
+                device f32)."""
+                if metric_mode:
+                    armed = ((s["m_count"] > 1)
+                             & (s["m_last"] / params["min_metric"]
+                                >= params["reach"]))
+                    nat = ((s["m_last"] < params["min_metric"])
+                           & (jnp.abs(s["m_last"] - s["m_prev"])
+                              > params["relTol"]))
+                else:
+                    armed = (s["n_alive"].astype(jnp.float32)
+                             / params["ncmax"] >= params["reach"])
+                    nat = ((s["n_alive"].astype(jnp.float32)
+                            < params["ncmax"])
+                           & (jnp.abs(s["cpi"] - s["cpi_last"])
+                              / params["ncmax"] > params["relTol"]))
+                return jnp.where(armed, nat, True)
+
+            def cond(s):
+                return (stop_continue(s) & (s["it"] < iters_cap)
+                        & ~s["flag"])
+
+            def body(s):
+                # ramp (host: only when len(metric) >= 2 — never in
+                # n_cells_max mode, whose metric list stays empty)
+                if metric_mode:
+                    do_ramp = s["m_count"] >= 2
+                    delta_x = params["min_metric"] - s["m_first"]
+                    new = (params["cps_start"]
+                           - (params["cps_start"] - params["cps_end"])
+                           / delta_x * s["m_last"])
+                    new_i = jnp.where(new > 1.0,
+                                      new.astype(jnp.int32), 1)
+                    cpi2 = jnp.where(do_ramp, new_i, s["cpi"])
+                    cpi_last2 = jnp.where(do_ramp,
+                                          s["cpi"].astype(jnp.float32),
+                                          s["cpi_last"])
+                else:
+                    cpi2, cpi_last2 = s["cpi"], s["cpi_last"]
+
+                k_budget = jnp.minimum(cpi2, s["fill"])
+                masked = jnp.where(s["alive"][:cap], s["gain"][:cap],
+                                   -jnp.inf)
+                topv, sel = jax.lax.top_k(masked, k_max)
+                pvalid = ((jnp.arange(k_max) < k_budget)
+                          & (topv > -jnp.inf))
+                # children are appended in the host _select_top_k order:
+                # above-threshold parents ascending by creation index, then
+                # the at-threshold parents ascending (np.concatenate([above,
+                # at_thr]); lax.top_k's stable ties match at_thr[:need]) —
+                # UNLESS k >= n_alive, where the host returns all alive
+                # cells in plain ascending order
+                n_val = pvalid.sum()
+                thr = topv[jnp.maximum(n_val - 1, 0)]
+                all_mode = k_budget >= s["n_alive"]
+                bump = jnp.where(all_mode | (topv > thr), 0, cap + 1)
+                key = jnp.sort(jnp.where(pvalid, sel + bump, 3 * (cap + 1)))
+                pvalid = key < 2 * (cap + 1)
+                parents = jnp.where(pvalid, key % (cap + 1), cap)
+                plevel = s["level"][parents]
+                guard = ((k_budget > k_max)
+                         | (jnp.where(pvalid, plevel, 0).max() + 1
+                            > lev_cap))
+
+                def no_iter(s2):
+                    out = dict(s2)
+                    out["flag"] = jnp.bool_(True)
+                    return out
+
+                def do_iter(s2):
+                    coords, level = s2["coords"], s2["level"]
+                    alive, gain = s2["alive"], s2["gain"]
+                    metric, bad = s2["metric"], s2["bad"]
+                    alive = alive.at[parents].set(False)
+                    j = jnp.cumsum(pvalid.astype(jnp.int32)) - 1
+                    rows = jnp.where(
+                        pvalid[:, None],
+                        s2["fill"] + j[:, None] * n_ch
+                        + jnp.arange(n_ch)[None, :], cap)      # [k_max, 2^d]
+                    ccoords = (coords[parents][:, None, :] * 2
+                               + offsets_i[None, :, :])        # [k_max, 2^d, d]
+                    clevel = plevel + 1
+                    rows_f = rows.reshape(-1)
+                    coords = coords.at[rows_f].set(
+                        ccoords.reshape(-1, d))
+                    level = level.at[rows_f].set(
+                        jnp.repeat(clevel, n_ch))
+                    n_new = pvalid.sum() * n_ch
+
+                    out = core(ccoords.reshape(-1, d).astype(jnp.float32),
+                               jnp.repeat(clevel, n_ch).astype(jnp.float32),
+                               *epoch_args)                    # [k_max·2^d, 4]
+                    slot = jnp.repeat(pvalid, n_ch)
+                    ginv = out[:, 2] > 0.5
+                    galive = slot & ~ginv
+                    gbad = (out[:, 3] > 0.5) & galive
+                    alive = alive.at[rows_f].set(galive)
+                    gain = gain.at[rows_f].set(
+                        jnp.where(ginv, 0.0, out[:, 0]))
+                    metric = metric.at[rows_f].set(out[:, 1])
+                    bad = bad.at[rows_f].set(
+                        jnp.where(slot, gbad, False))
+
+                    n_alive = alive[:cap].sum()
+                    s3 = dict(s2)
+                    s3.update(coords=coords, level=level, alive=alive,
+                              gain=gain, metric=metric, bad=bad,
+                              fill=s2["fill"] + n_new,
+                              n_alive=n_alive,
+                              flag=s2["flag"] | gbad.any(),
+                              maxlev=jnp.maximum(s2["maxlev"],
+                                                 clevel.max()),
+                              cpi=cpi2, cpi_last=cpi_last2)
+                    if metric_mode:
+                        ratio = jnp.sqrt(jnp.sum(jnp.where(
+                            alive[:cap], metric[:cap] ** 2, 0.0))) \
+                            / params["tnorm"]
+                        s3.update(m_prev=s2["m_last"], m_last=ratio,
+                                  m_count=s2["m_count"] + 1)
+                        s3["ms"] = s2["ms"].at[s2["it"]].set(ratio)
+                    s3["ns"] = s3["ns"].at[s2["it"]].set(n_alive)
+                    s3["it"] = s2["it"] + 1
+                    return s3
+
+                return jax.lax.cond(guard, no_iter, do_iter, s)
+
+            return jax.lax.while_loop(cond, body, state)
+
+        fn = jax.jit(loop_fn)
+        self._device_loops[key] = fn
+        return fn
+
+    def _device_adaptive_call(self) -> int:
+        """Run up to ``_DEVICE_LOOP_ITERS`` adaptive iterations on device;
+        sync state back and resolve any exact-fallback cells on the host.
+        Returns the number of iterations executed."""
+        d = self._n_dimensions
+        n_ch = 2 ** d
+        k_max = self._device_loop_kmax()
+        need = self._n_cells + self._DEVICE_LOOP_ITERS * k_max * n_ch + 1
+        cap = max(4096, 1 << (need - 1).bit_length())
+        fn = self._build_device_loop(cap, k_max)
+        metric_mode = self._n_cells_max is None
+
+        n0 = self._n_cells
+        coords = np.zeros((cap + 1, d), dtype=np.int32)
+        coords[:n0] = self._coords[:n0]
+        level = np.zeros(cap + 1, dtype=np.int32)
+        level[:n0] = self._level[:n0]
+        alive = np.zeros(cap + 1, dtype=bool)
+        alive[:n0] = self._alive[:n0]
+        gain = np.zeros(cap + 1, dtype=np.float32)
+        gain[:n0] = self._gain[:n0]
+        metric = np.zeros(cap + 1, dtype=np.float32)
+        metric[:n0] = self._metric_arr[:n0]
+        state = {
+            "coords": jnp.asarray(coords), "level": jnp.asarray(level),
+            "alive": jnp.asarray(alive), "gain": jnp.asarray(gain),
+            "metric": jnp.asarray(metric),
+            "bad": jnp.zeros(cap + 1, dtype=jnp.bool_),
+            "ms": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.float32),
+            "ns": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.int32),
+            "fill": jnp.int32(n0), "it": jnp.int32(0),
+            "n_alive": jnp.int32(int(self._alive[:n0].sum())),
+            "cpi": jnp.int32(self._cells_per_iter),
+            "cpi_last": jnp.float32(self._cells_per_iter_last),
+            "m_first": jnp.float32(self._metric[0] if self._metric else 0.0),
+            "m_prev": jnp.float32(self._metric[-2]
+                                  if len(self._metric) > 1 else np.inf),
+            "m_last": jnp.float32(self._metric[-1]
+                                  if self._metric else 0.0),
+            "m_count": jnp.int32(len(self._metric)),
+            "flag": jnp.bool_(False),
+            "maxlev": jnp.int32(self._current_max_level),
+        }
+        params = {
+            "min_metric": jnp.float32(self._min_metric or 0.0),
+            "relTol": jnp.float32(self._relTol),
+            "reach": jnp.float32(self._reach_at_least),
+            "ncmax": jnp.float32(self._n_cells_max or 0),
+            "cps_start": jnp.float32(self._cells_per_iter_start),
+            "cps_end": jnp.float32(self._cells_per_iter_end),
+            "tnorm": jnp.float32(self._target_norm),
+        }
+
+        st = self._epoch_stats
+        t0 = time()
+        out = fn(state, params, *self._dil_core_args)
+        st["t_dispatch_s"] += time() - t0
+        t_rb = time()
+        # one packed transfer for the int scalars (each np.asarray of a
+        # device scalar pays a full tunnel round trip)
+        meta = np.asarray(jnp.stack([out["it"], out["fill"], out["maxlev"],
+                                     out["cpi"]]))
+        ran, fill = int(meta[0]), int(meta[1])
+        if ran:
+            self._grow(fill - n0)
+            self._coords[n0:fill] = np.asarray(out["coords"])[n0:fill]
+            self._level[n0:fill] = np.asarray(out["level"])[n0:fill]
+            self._alive[:fill] = np.asarray(out["alive"])[:fill]
+            self._gain[:fill] = np.asarray(out["gain"])[:fill]
+            self._metric_arr[n0:fill] = np.asarray(out["metric"])[n0:fill]
+            self._n_cells = fill
+            self._current_max_level = int(meta[2])
+            self._cells_per_iter = int(meta[3])
+            self._cells_per_iter_last = float(out["cpi_last"])
+            if metric_mode:
+                self._metric.extend(
+                    np.asarray(out["ms"])[:ran].astype(float).tolist())
+            self._n_cells_log.extend(
+                np.asarray(out["ns"])[:ran].tolist())
+        st["t_readback_s"] += time() - t_rb
+        st["n_calls_main"] += 1
+        q_real = (fill - n0) * (1 + n_ch)
+        st["queries"] += q_real
+        st["gather_bytes"] += q_real * self._epoch_query_cost[0]
+        st["flops"] += q_real * self._epoch_query_cost[1]
+        st["wall_s"] += time() - t0
+
+        if ran:
+            retry_rows = np.nonzero(np.asarray(out["bad"])[:fill])[0]
+            if retry_rows.size:
+                self._resolve_retries(retry_rows, _EPOCH_CHUNK[d])
+                if metric_mode:
+                    # the last in-loop captured entry used the unresolved
+                    # (ring-approximate) values; recompute it exactly like
+                    # the host path would have after its retry escalation
+                    self._metric[-1] = self._captured_metric_value()
+        return ran
+
+    def _captured_metric_value(self) -> float:
+        alive = self._alive_idx()
+        return float(np.sqrt(np.square(self._metric_arr[alive]).sum())
+                     / self._target_norm)
+
     def refine(self) -> None:
         """Run the full grid generation (reference ``refine``, s_cube.py:563-667)."""
         logger.info("Generating the S^3 grid.")
@@ -1126,6 +1439,19 @@ class SamplingTree:
                   "t_epoch": 0.0, "n_iter": 0}
 
         while self._check_stopping_criteria():
+            if self._adaptive_device_eligible():
+                t_dl = time()
+                ran = self._device_adaptive_call()
+                asplit["t_epoch"] += time() - t_dl
+                asplit["n_iter"] += ran
+                if ran:
+                    iteration_count += ran
+                    logger.info(
+                        f"\tDevice loop ran {ran} iterations -> "
+                        f"N_cells = {int(self._alive.sum())}")
+                    continue
+                # the device loop could not make progress (deep-level /
+                # per-iteration-budget guard) — run one host iteration
             if self._n_cells_max is None:
                 logger.info(f"\tStarting iteration no. {iteration_count}, captured metric: "
                             f"{round(self._metric[-1] * 100, 2)} %, "

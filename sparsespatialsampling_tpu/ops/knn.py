@@ -202,19 +202,6 @@ def _grid_neighborhood(anchors, n_cells_total, origin, inv_h, dims,
     return jnp.where(valid, flat, n_cells_total - 1), margin_sq
 
 
-def _grid_cells(anchors, cell_list, cell_overflow, origin, inv_h, dims):
-    """Candidate member lists of each anchor's 3^d grid neighborhood.
-
-    ``cell_list [n_cells+1, C]`` int32 (last row = empty cell, all pad ids;
-    pad point coords are huge so their distances are +inf).  Returns
-    ``(cand [Q, 3^d·C], overflow [Q])``.
-    """
-    flat = _grid_flat_cells(anchors, cell_list.shape[0], origin, inv_h, dims)
-    cand = cell_list[flat].reshape(anchors.shape[0], -1)                # [Q, 3^d·C]
-    overflow = cell_overflow[flat].any(axis=1)
-    return cand, overflow
-
-
 def _grid_candidates(queries, cell_pts, cell_list, cell_overflow, origin,
                      inv_h, dims):
     """Gather the 3^d-neighborhood candidates of each query from the bucket
@@ -284,12 +271,6 @@ def _grid_predict_kernel(queries, cell_pts, cell_vals, cell_list,
 def _query_padded(queries, points, points_sq, k, tile_n, tile_q):
     sq, idx = _search(queries, points, points_sq, k, tile_n, tile_q)
     return jnp.sqrt(jnp.maximum(sq, 0.0)), idx
-
-
-@partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
-def _weights_padded(queries, points, points_sq, k, tile_n, tile_q):
-    sq, idx = _search(queries, points, points_sq, k, tile_n, tile_q)
-    return _idw(sq), idx
 
 
 @partial(jax.jit, static_argnames=("k", "tile_n", "tile_q"))
