@@ -1135,8 +1135,11 @@ class SamplingTree:
     # the host reads state back ONCE.  Semantics mirror the host loop
     # exactly — same ramp/stopping formulas, same (gain desc, index asc)
     # selection tie-break (lax.top_k is stable), same child ordering
-    # (parents ascending by creation index) — so both paths grow identical
-    # trees; the loop EXITS to the host whenever anything it cannot handle
+    # (host _select_top_k order) — so both paths grow identical trees (the
+    # ramp and stopping thresholds evaluate in f32 here vs float64 on the
+    # host: divergence needs a value within ~1e-7 relative of an integer/
+    # threshold boundary); the loop EXITS to the host whenever anything
+    # it cannot handle
     # exactly appears (a cell whose kNN failed the fused ring rescue, the
     # float64 deep-level regime, a per-iter budget above the compiled
     # bound), the host resolves it with the existing escalation, and the
@@ -1151,6 +1154,7 @@ class SamplingTree:
         import os
         return (not self._max_delta_level and self._mesh is None
                 and self._dil_core is not None
+                and not getattr(self, "_device_loop_disabled", False)
                 and os.environ.get("S3_TPU_DEVICE_LOOP", "1") != "0")
 
     def _device_loop_kmax(self) -> int:
@@ -1160,14 +1164,17 @@ class SamplingTree:
         interval endpoints; 1.05 covers metric over-approximation."""
         start, end = self._cells_per_iter_start, self._cells_per_iter_end
         if self._n_cells_max is not None:
-            return max(int(start), 1)
+            return _bucket(max(int(start), 1), minimum=64)
         m0 = self._metric[0] if self._metric else 0.0
         delta_x = self._min_metric - m0
         vals = [float(start)]
         if abs(delta_x) > 1e-12:
             for cx in (m0, 1.05):
                 vals.append(start - (start - end) / delta_x * cx)
-        return max(int(max(vals)), 1)
+        # pow2 bucket so the compiled (cap, k_max) loop is shared across
+        # runs with similar (not identical) point counts; the dynamic
+        # budget masks the extra slots
+        return _bucket(max(int(max(vals)), 1), minimum=64)
 
     def _build_device_loop(self, cap: int, k_max: int):
         key = (cap, k_max)
@@ -1175,7 +1182,6 @@ class SamplingTree:
             return self._device_loops[key]
         d = self._n_dimensions
         n_ch = 2 ** d
-        n_q = 1 + n_ch
         iters_cap = self._DEVICE_LOOP_ITERS
         lev_cap = self._DEVICE_LEVEL_CAP
         core = self._dil_core
@@ -1294,8 +1300,9 @@ class SamplingTree:
                               fill=s2["fill"] + n_new,
                               n_alive=n_alive,
                               flag=s2["flag"] | gbad.any(),
-                              maxlev=jnp.maximum(s2["maxlev"],
-                                                 clevel.max()),
+                              maxlev=jnp.maximum(
+                                  s2["maxlev"],
+                                  jnp.where(pvalid, clevel, 0).max()),
                               cpi=cpi2, cpi_last=cpi_last2)
                     if metric_mode:
                         ratio = jnp.sqrt(jnp.sum(jnp.where(
@@ -1323,6 +1330,24 @@ class SamplingTree:
         d = self._n_dimensions
         n_ch = 2 ** d
         k_max = self._device_loop_kmax()
+        # the in-loop epoch has no chunking: its per-iteration program runs
+        # k_max*2^d cells at once, so the per-call worker-safety caps the
+        # host path enforces via _EPOCH_CHUNK must hold for k_max itself.
+        # A budget ramp that exceeds them disables the device path for the
+        # rest of the run (sticky — the ramp bound only grows).
+        if k_max * n_ch > 2 * _EPOCH_CHUNK[d]:
+            logger.info("Device adaptive loop disabled: per-iteration "
+                        f"budget bound {k_max} exceeds the worker-safe "
+                        "epoch size.")
+            self._device_loop_disabled = True
+            return 0
+        # deep-level pre-check (heuristic; the in-loop guard is
+        # authoritative): avoid paying a full state upload for a call that
+        # would guard-exit immediately because the current selection sits
+        # at the float64 deep-level regime
+        sel = self._select_top_k(min(self._cells_per_iter, self._n_cells))
+        if sel.size and int(self._level[sel].max()) + 1 > self._DEVICE_LEVEL_CAP:
+            return 0
         need = self._n_cells + self._DEVICE_LOOP_ITERS * k_max * n_ch + 1
         cap = max(4096, 1 << (need - 1).bit_length())
         fn = self._build_device_loop(cap, k_max)
@@ -1374,22 +1399,37 @@ class SamplingTree:
         out = fn(state, params, *self._dil_core_args)
         st["t_dispatch_s"] += time() - t0
         t_rb = time()
-        # one packed transfer for the int scalars (each np.asarray of a
-        # device scalar pays a full tunnel round trip)
-        meta = np.asarray(jnp.stack([out["it"], out["fill"], out["maxlev"],
-                                     out["cpi"]]))
+        # one packed transfer for ALL scalars (each np.asarray of a device
+        # scalar pays a full tunnel round trip); f32 is exact for every
+        # field here while cap stays below 2^24 rows
+        meta = np.asarray(jnp.stack([
+            out["it"].astype(jnp.float32), out["fill"].astype(jnp.float32),
+            out["maxlev"].astype(jnp.float32),
+            out["cpi"].astype(jnp.float32), out["cpi_last"]]))
         ran, fill = int(meta[0]), int(meta[1])
         if ran:
             self._grow(fill - n0)
-            self._coords[n0:fill] = np.asarray(out["coords"])[n0:fill]
-            self._level[n0:fill] = np.asarray(out["level"])[n0:fill]
+            # windowed readbacks: only the [n0:fill) rows changed (plus the
+            # alive flags of deactivated parents anywhere) — transfer a
+            # pow2-bucketed dynamic slice, not the whole cap-row state
+            win = _bucket(fill - n0, minimum=1024)
+
+            def rows(arr):
+                return np.asarray(jax.lax.dynamic_slice_in_dim(
+                    arr, n0, min(win, arr.shape[0] - n0), axis=0))[:fill - n0]
+
+            self._coords[n0:fill] = rows(out["coords"])
+            self._level[n0:fill] = rows(out["level"])
             self._alive[:fill] = np.asarray(out["alive"])[:fill]
-            self._gain[:fill] = np.asarray(out["gain"])[:fill]
-            self._metric_arr[n0:fill] = np.asarray(out["metric"])[n0:fill]
+            # gain is synced for the NEW rows only: rows < n0 are untouched
+            # by the loop, and overwriting them would truncate float64
+            # host-path gains (deep-level regime) to f32
+            self._gain[n0:fill] = rows(out["gain"])
+            self._metric_arr[n0:fill] = rows(out["metric"])
             self._n_cells = fill
             self._current_max_level = int(meta[2])
             self._cells_per_iter = int(meta[3])
-            self._cells_per_iter_last = float(out["cpi_last"])
+            self._cells_per_iter_last = float(meta[4])
             if metric_mode:
                 self._metric.extend(
                     np.asarray(out["ms"])[:ran].astype(float).tolist())
@@ -1404,7 +1444,11 @@ class SamplingTree:
         st["wall_s"] += time() - t0
 
         if ran:
-            retry_rows = np.nonzero(np.asarray(out["bad"])[:fill])[0]
+            win = _bucket(fill - n0, minimum=1024)
+            bad_w = np.asarray(jax.lax.dynamic_slice_in_dim(
+                out["bad"], n0, min(win, out["bad"].shape[0] - n0),
+                axis=0))[:fill - n0]
+            retry_rows = np.nonzero(bad_w)[0] + n0
             if retry_rows.size:
                 self._resolve_retries(retry_rows, _EPOCH_CHUNK[d])
                 if metric_mode:
