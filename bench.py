@@ -258,7 +258,32 @@ def warmup_tunnel():
     return time.perf_counter() - t0
 
 
+def probe_backend(timeout_s: int = 300) -> bool:
+    """Check in a SUBPROCESS that the jax backend actually initializes.
+    When the TPU tunnel is down, ``jax.devices()`` hangs indefinitely
+    inside this process (uninterruptible); probing in a child process lets
+    the bench emit a parseable failure record instead of hanging until the
+    driver kills it."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not probe_backend():
+        print(json.dumps({
+            "metric": "oat15_2d e2e refine+interp+svd wall",
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+            "error": ("accelerator backend failed to initialize within "
+                      "300 s (TPU tunnel down) — no measurement taken")}))
+        return
+
     from sparsespatialsampling_tpu import ExportData, write_svd_s_cube_to_file
 
     t_warmup = warmup_tunnel()
