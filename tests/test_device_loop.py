@@ -71,3 +71,45 @@ def test_device_loop_engaged(monkeypatch):
     # far fewer device calls than iterations == the loop is batching
     assert iters > 5
     assert stats["n_calls_main"] < iters
+
+
+def test_device_loop_3d_stl_obstacle(monkeypatch, tmp_path):
+    """3D device loop with an STL obstacle: the fused epoch inside the
+    lax.while_loop evaluates the sign-grid winding test, and cells whose
+    kNN fails near the obstacle's point-cloud hole exit to the host
+    escalation. The device path must match the host path exactly."""
+    import sys
+    from os.path import dirname
+    sys.path.insert(0, dirname(dirname(__file__)))
+    from bench import synthetic_sphere_stl
+    from sparsespatialsampling_tpu import GeometrySTL3D
+
+    monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+    stl = str(tmp_path / "sphere.stl")
+    synthetic_sphere_stl(stl, n_lat=16, n_lon=12)
+
+    def run(device_loop):
+        monkeypatch.setenv("S3_TPU_DEVICE_LOOP",
+                           "1" if device_loop else "0")
+        rng = np.random.default_rng(3)
+        xyz = rng.uniform([0, 0, 0], [0.6, 0.4, 0.4], size=(7000, 3))
+        rr = np.linalg.norm(xyz - [0.2, 0.2, 0.2], axis=1)
+        xyz = xyz[rr > 0.05][:6000]
+        metric = np.exp(-np.maximum(np.linalg.norm(
+            xyz - [0.2, 0.2, 0.2], axis=1) - 0.05, 0) / 0.1) + 0.01
+        s3 = SparseSpatialSampling(
+            xyz, metric,
+            [CubeGeometry("domain", True, [0, 0, 0], [0.6, 0.4, 0.4]),
+             GeometrySTL3D("sphere", False, stl)],
+            save_path=str(tmp_path), save_name="s", uniform_levels=2,
+            n_cells_max=1500)
+        s3.execute_grid_generation()
+        return s3
+
+    a = run(False)
+    b = run(True)
+    ca, la = _grid_key(a)
+    cb, lb = _grid_key(b)
+    assert ca.shape == cb.shape
+    np.testing.assert_allclose(ca, cb)
+    np.testing.assert_array_equal(la, lb)
