@@ -1354,20 +1354,55 @@ class SamplingTree:
         metric_mode = self._n_cells_max is None
 
         n0 = self._n_cells
-        coords = np.zeros((cap + 1, d), dtype=np.int32)
-        coords[:n0] = self._coords[:n0]
-        level = np.zeros(cap + 1, dtype=np.int32)
-        level[:n0] = self._level[:n0]
-        alive = np.zeros(cap + 1, dtype=bool)
-        alive[:n0] = self._alive[:n0]
-        gain = np.zeros(cap + 1, dtype=np.float32)
-        gain[:n0] = self._gain[:n0]
-        metric = np.zeros(cap + 1, dtype=np.float32)
-        metric[:n0] = self._metric_arr[:n0]
+        cache = getattr(self, "_dev_state", None)
+        if (cache is not None and cache["cap"] == cap
+                and cache["fill"] == n0):
+            # re-entry (after a bad-cell exit): the post-loop device arrays
+            # ARE the current state except for the rows the host retry
+            # escalation corrected — scatter just those instead of paying
+            # the full ~cap-row upload again
+            arrays = cache["arrays"]
+            rows_d = cache["dirty"]
+            if rows_d.size:
+                rp = _bucket(rows_d.size, minimum=256)
+                rows_pad = np.full(rp, cap, dtype=np.int32)   # sentinel row
+                rows_pad[:rows_d.size] = rows_d
+                gv = np.zeros(rp, dtype=np.float32)
+                gv[:rows_d.size] = self._gain[rows_d]
+                mv = np.zeros(rp, dtype=np.float32)
+                mv[:rows_d.size] = self._metric_arr[rows_d]
+                av = np.zeros(rp, dtype=bool)
+                av[:rows_d.size] = self._alive[rows_d]
+                rj = jnp.asarray(rows_pad)
+                arrays = dict(arrays)
+                arrays["gain"] = arrays["gain"].at[rj].set(jnp.asarray(gv))
+                arrays["metric"] = arrays["metric"].at[rj].set(
+                    jnp.asarray(mv))
+                arrays["alive"] = arrays["alive"].at[rj].set(
+                    jnp.asarray(av))
+                # the sentinel row may now carry garbage alive=False ✓
+                # (pad rows write False/0 there)
+            coords_d, level_d = arrays["coords"], arrays["level"]
+            alive_d, gain_d = arrays["alive"], arrays["gain"]
+            metric_d = arrays["metric"]
+        else:
+            coords = np.zeros((cap + 1, d), dtype=np.int32)
+            coords[:n0] = self._coords[:n0]
+            level = np.zeros(cap + 1, dtype=np.int32)
+            level[:n0] = self._level[:n0]
+            alive = np.zeros(cap + 1, dtype=bool)
+            alive[:n0] = self._alive[:n0]
+            gain = np.zeros(cap + 1, dtype=np.float32)
+            gain[:n0] = self._gain[:n0]
+            metric = np.zeros(cap + 1, dtype=np.float32)
+            metric[:n0] = self._metric_arr[:n0]
+            coords_d, level_d = jnp.asarray(coords), jnp.asarray(level)
+            alive_d, gain_d = jnp.asarray(alive), jnp.asarray(gain)
+            metric_d = jnp.asarray(metric)
         state = {
-            "coords": jnp.asarray(coords), "level": jnp.asarray(level),
-            "alive": jnp.asarray(alive), "gain": jnp.asarray(gain),
-            "metric": jnp.asarray(metric),
+            "coords": coords_d, "level": level_d,
+            "alive": alive_d, "gain": gain_d,
+            "metric": metric_d,
             "bad": jnp.zeros(cap + 1, dtype=jnp.bool_),
             "ms": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.float32),
             "ns": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.int32),
@@ -1443,19 +1478,29 @@ class SamplingTree:
         st["flops"] += q_real * self._epoch_query_cost[1]
         st["wall_s"] += time() - t0
 
+        retry_rows = np.zeros(0, dtype=np.int64)
         if ran:
             win = _bucket(fill - n0, minimum=1024)
             bad_w = np.asarray(jax.lax.dynamic_slice_in_dim(
                 out["bad"], n0, min(win, out["bad"].shape[0] - n0),
                 axis=0))[:fill - n0]
             retry_rows = np.nonzero(bad_w)[0] + n0
-            if retry_rows.size:
-                self._resolve_retries(retry_rows, _EPOCH_CHUNK[d])
-                if metric_mode:
-                    # the last in-loop captured entry used the unresolved
-                    # (ring-approximate) values; recompute it exactly like
-                    # the host path would have after its retry escalation
-                    self._metric[-1] = self._captured_metric_value()
+        # cache the post-loop device arrays for a cheap re-entry: between
+        # device calls the host mutates ONLY the retried rows (via
+        # _resolve_retries below); anything else (a host fallback
+        # iteration's appends, the geometry phase) changes _n_cells and
+        # invalidates the cache by the fill check above
+        self._dev_state = {
+            "cap": cap, "fill": fill, "dirty": retry_rows,
+            "arrays": {k: out[k] for k in
+                       ("coords", "level", "alive", "gain", "metric")}}
+        if retry_rows.size:
+            self._resolve_retries(retry_rows, _EPOCH_CHUNK[d])
+            if metric_mode:
+                # the last in-loop captured entry used the unresolved
+                # (ring-approximate) values; recompute it exactly like
+                # the host path would have after its retry escalation
+                self._metric[-1] = self._captured_metric_value()
         return ran
 
     def _captured_metric_value(self) -> float:
@@ -1530,6 +1575,7 @@ class SamplingTree:
 
         if self._n_cells_max is not None:
             self._captured_metric()
+        self._dev_state = None   # free the cached device-loop state (~cap rows)
         self._times["adaptive_split"] = {
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in asplit.items()}
