@@ -295,6 +295,25 @@ def _blocked_pts_device(points_padded, cell_list):
     return jnp.minimum(points_padded[cell_list], 1e15)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _cell_list_device(cells, pos, order, n_rows, C, pad_idx):
+    """Blocked member-index layout ``[n_rows, C]`` built on device from the
+    plan's fill triplet — the triplet is ~2.4x smaller on the link than the
+    host-assembled table. Pad triplet entries carry out-of-bounds ``cells``;
+    XLA drops out-of-bounds scatter updates, so they are no-ops."""
+    out = jnp.full((n_rows, C), pad_idx, dtype=jnp.int32)
+    return out.at[cells, pos].set(order)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _cell_vals_device(cells, pos, order, values_sorted, n_rows, C):
+    """Blocked member-value layout matching ``_cell_list_device``, gathered
+    from the already-uploaded sorted value array (zero extra link traffic).
+    Pad slots stay 0; their distances are +inf so they never rank."""
+    out = jnp.zeros((n_rows, C) + values_sorted.shape[1:], dtype=jnp.float32)
+    return out.at[cells, pos].set(values_sorted[order])
+
+
 @jax.jit
 def _dilate(arr, nb):
     """Concatenate each cell's 3^d neighborhood rows: ``arr [n, W]``,
@@ -411,7 +430,8 @@ def _grid_predict_kernel_dil_vec(queries, dil_pts, dil_cand, dil_ovf,
 
 
 def _plan_grid(points: np.ndarray, n_points: int, pad_idx: int,
-               occupancy: int, capacity: int) -> dict:
+               occupancy: int, capacity: int,
+               host_arrays: bool = True) -> dict:
     """Host-side bucket-grid plan over a (centered) point cloud.
 
     Chooses the cell size ``h`` (≈ (occupancy/density)^(1/d), grown to a
@@ -470,40 +490,88 @@ def _plan_grid(points: np.ndarray, n_points: int, pad_idx: int,
         c999 = int(np.percentile(occupied, 99.9)) if occupied.size else 1
         C = 1 << int(max(c999, 2, occupancy) - 1).bit_length()
         C = int(min(capacity, max(16, C)))
-    cell_list = np.full((n_cells + 1, C), pad_idx, dtype=np.int32)
     keep = pos_in_cell < C
-    cell_list[flat[order][keep], pos_in_cell[keep]] = order[keep].astype(np.int32)
     overflow = np.zeros(n_cells + 1, dtype=bool)
     overflow[:n_cells] = counts > C
 
-    # blocked member coordinates [n_cells+1, C, d]: the query kernels
-    # gather one contiguous C·d·4-byte slab per neighborhood cell instead
-    # of C pointwise 12-byte lookups (the pointwise gather was ~90 % of
-    # the kernel wall time on TPU); pad slots hold 1e15 so squared
-    # distances stay finite (~3e30) yet never rank into any top-k
-    cell_pts = np.full((n_cells + 1, C, d), 1e15, dtype=np.float32)
-    cell_pts[flat[order][keep], pos_in_cell[keep]] = \
-        points[order[keep]].astype(np.float32)
-
-    return {"h": float(h), "C": C, "n_cells": n_cells, "origin": lo,
-            "dims": dims, "cell_list": cell_list, "overflow": overflow,
-            "cell_pts": cell_pts,
+    plan = {"h": float(h), "C": C, "n_cells": n_cells, "origin": lo,
+            "dims": dims, "overflow": overflow,
             "fill": (flat[order][keep], pos_in_cell[keep], order[keep])}
+    if host_arrays:
+        # single-chip callers build these ON DEVICE from the fill triplet
+        # (the triplet is ~2.4x smaller on the link than cell_list alone);
+        # the sharded path still slices the host copies per device row-slab
+        cell_list = np.full((n_cells + 1, C), pad_idx, dtype=np.int32)
+        cell_list[flat[order][keep], pos_in_cell[keep]] = \
+            order[keep].astype(np.int32)
+        plan["cell_list"] = cell_list
+        # blocked member coordinates [n_cells+1, C, d]: the query kernels
+        # gather one contiguous C·d·4-byte slab per neighborhood cell instead
+        # of C pointwise 12-byte lookups (the pointwise gather was ~90 % of
+        # the kernel wall time on TPU); pad slots hold 1e15 so squared
+        # distances stay finite (~3e30) yet never rank into any top-k
+        cell_pts = np.full((n_cells + 1, C, d), 1e15, dtype=np.float32)
+        cell_pts[flat[order][keep], pos_in_cell[keep]] = \
+            points[order[keep]].astype(np.float32)
+        plan["cell_pts"] = cell_pts
+    return plan
 
 
 def _grid_neighbor_table(dims: np.ndarray, n_cells: int) -> np.ndarray:
     """``[n_cells+1, 3^d]`` int32: each cell's 3^d neighborhood as flat cell
-    ids (out-of-range and the sentinel row map to the sentinel ``n_cells``)."""
+    ids (out-of-range and the sentinel row map to the sentinel ``n_cells``).
+
+    Built one offset at a time over int32 [n_cells] columns — a single
+    ``coords[:, None, :] + offsets`` broadcast materializes
+    ``n_cells·3^d·d`` int64 temporaries (~160 MB at 250k cells), which this
+    host's single memory-bound core pays ~2 s for."""
     d = len(dims)
-    coords = np.stack(np.unravel_index(np.arange(n_cells), dims), axis=1)
-    nb = coords[:, None, :] + _neighbor_offsets(d)[None, :, :]
-    valid = np.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)
-    flat_nb = nb[..., 0]
+    coords = np.stack(np.unravel_index(
+        np.arange(n_cells, dtype=np.int64), dims), axis=1).astype(np.int32)
+    dims32 = dims.astype(np.int32)
+    offsets = _neighbor_offsets(d)
+    out = np.empty((n_cells + 1, 3 ** d), dtype=np.int32)
+    out[n_cells] = n_cells
+    strides = np.ones(d, dtype=np.int32)
+    for ax in range(d - 2, -1, -1):
+        strides[ax] = strides[ax + 1] * dims32[ax + 1]
+    base = coords @ strides  # flat id of each cell
+    for j, off in enumerate(offsets):
+        col = base + int((off * strides).sum())
+        valid = np.ones(n_cells, dtype=bool)
+        for ax in range(d):
+            if off[ax]:
+                c = coords[:, ax] + int(off[ax])
+                valid &= (c >= 0) & (c < dims32[ax])
+        out[:n_cells, j] = np.where(valid, col, n_cells)
+    return out
+
+
+def _neighbor_table_device(dims: tuple, n_cells: int, d: int):
+    """Device-side twin of :func:`_grid_neighbor_table`: pure iota/elementwise
+    integer math, so building it on device replaces a ~2 s host build plus a
+    ``[n_cells+1, 3^d]`` int32 upload through the link with a sub-ms kernel."""
+    offs = jnp.asarray(_neighbor_offsets(d), dtype=jnp.int32)  # [3^d, d]
+    ids = jnp.arange(n_cells, dtype=jnp.int32)
+    coords = []
+    rem = ids
+    for ax in range(d - 1, -1, -1):
+        coords.append(rem % dims[ax])
+        rem = rem // dims[ax]
+    coords = jnp.stack(coords[::-1], axis=1)                    # [n_cells, d]
+    nb = coords[:, None, :] + offs[None, :, :]                  # [n_cells, 3^d, d]
+    dims_a = jnp.asarray(dims, dtype=jnp.int32)
+    valid = jnp.logical_and(nb >= 0, nb < dims_a[None, None, :]).all(-1)
+    flat = nb[..., 0]
     for ax in range(1, d):
-        flat_nb = flat_nb * dims[ax] + nb[..., ax]
-    flat_nb = np.where(valid, flat_nb, n_cells).astype(np.int32)
-    return np.concatenate(
-        [flat_nb, np.full((1, 3 ** d), n_cells, np.int32)])
+        flat = flat * dims[ax] + nb[..., ax]
+    flat = jnp.where(valid, flat, n_cells).astype(jnp.int32)
+    return jnp.concatenate(
+        [flat, jnp.full((1, 3 ** d), n_cells, jnp.int32)])
+
+
+_neighbor_table_jit = jax.jit(_neighbor_table_device,
+                              static_argnums=(0, 1, 2))
 
 
 @jax.jit
@@ -592,6 +660,7 @@ class KNNIndex:
         self._points = jnp.asarray(pts, dtype=dtype)
         self._points_sq = jnp.asarray(sq, dtype=jnp.float32)
         self._points_host = centered  # for predict_host (tiny-query fast path)
+        self._pnorm2_host = None      # lazy ‖p‖² cache for predict_host
         self._pad_idx = self.n_points  # first pad row (always exists)
 
         self._grid = None
@@ -614,11 +683,28 @@ class KNNIndex:
         full-scan fallback for the rest (overflowing cells, sparse regions,
         out-of-bbox queries)."""
         plan = _plan_grid(sorted_pts, self.n_points, self._pad_idx,
-                          self.GRID_OCCUPANCY, self.GRID_CAPACITY)
-        cell_list_dev = jnp.asarray(plan["cell_list"])
+                          self.GRID_OCCUPANCY, self.GRID_CAPACITY,
+                          host_arrays=False)
+        C = plan["C"]
+        n_rows = plan["n_cells"] + 1
+        # upload the fill triplet once (padded to a pow2 bucket with
+        # out-of-bounds rows, which XLA's scatter drops) and assemble the
+        # blocked layouts on device — cell_list alone is ~2.4x the triplet
+        # on the link, and cell_vals then costs no upload at all
+        cells, pos, order = plan["fill"]
+        n_fill = cells.size
+        n_pad = _bucket_pow2(max(n_fill, 1), 4096)
+        trip = np.full((3, n_pad), n_rows, dtype=np.int32)  # OOB row pad
+        trip[0, :n_fill] = cells
+        trip[1, :n_fill] = pos
+        trip[2, :n_fill] = np.minimum(order, self._pad_idx)
+        trip_dev = jnp.asarray(trip)
+        fill_dev = (trip_dev[0], trip_dev[1], trip_dev[2])
+        cell_list_dev = _cell_list_device(
+            *fill_dev, n_rows, C, self._pad_idx)
         self._grid = {
             "h": plan["h"],
-            "C": plan["C"],
+            "C": C,
             "origin": jnp.asarray(plan["origin"], dtype=jnp.float32),
             "inv_h": jnp.float32(1.0 / plan["h"]),
             "dims": jnp.asarray(plan["dims"], dtype=jnp.int32),
@@ -628,8 +714,8 @@ class KNNIndex:
             # the C·d·4 B/cell host copy never crosses the link
             "cell_pts": _blocked_pts_device(self._points, cell_list_dev),
         }
-        # host copies for the lazy cell_vals build in set_values
-        self._grid_fill = plan["fill"]
+        # device fill triplet for the lazy cell_vals build in set_values
+        self._grid_fill = fill_dev
 
         # dilated fast path: each cell additionally stores its whole 3^d
         # neighborhood contiguously, so a query gathers ONE slice instead of
@@ -640,7 +726,8 @@ class KNNIndex:
         n_cells = plan["n_cells"]
         dil_bytes = (n_cells + 1) * (3 ** d) * C * (d + 2) * 4
         if dil_bytes <= 1.5e9:
-            nb_dev = jnp.asarray(_grid_neighbor_table(plan["dims"], n_cells))
+            nb_dev = _neighbor_table_jit(
+                tuple(int(x) for x in plan["dims"]), n_cells, d)
             self._grid["_nb"] = nb_dev
             g = self._grid
             self._grid["dil_pts"] = _dilate(
@@ -673,18 +760,18 @@ class KNNIndex:
             self._grid.pop("dil_vals", None)
             self._grid.pop("dil_vals_nch", None)
             # blocked member values matching cell_pts (pad slots = 0; their
-            # distances are +inf so they never rank into the top-k)
+            # distances are +inf so they never rank into the top-k) —
+            # assembled on device from the already-uploaded sorted values
+            # and the device fill triplet: zero extra link traffic
             cells, pos, order = self._grid_fill
-            tail = () if values.ndim == 1 else (values.shape[1],)
-            cell_vals = np.zeros(self._grid["cell_list"].shape + tail,
-                                 dtype=np.float32)
-            cell_vals[cells, pos] = sorted_vals[order]
-            self._grid["cell_vals"] = jnp.asarray(cell_vals)
+            n_rows, C = self._grid["cell_list"].shape
+            self._grid["cell_vals"] = _cell_vals_device(
+                cells, pos, order, self._values, n_rows, C)
             if "_nb" in self._grid:
                 n_ch = 1 if values.ndim == 1 else values.shape[1]
                 flat_vals = (self._grid["cell_vals"] if values.ndim == 1
                              else self._grid["cell_vals"].reshape(
-                                 cell_vals.shape[0], -1))
+                                 n_rows, -1))
                 # the dilated copy is 3^d x the blocked one — gate by size
                 if flat_vals.size * (3 ** self.n_dim) * 4 <= 1.5e9:
                     self._grid["dil_vals"] = _dilate(flat_vals,
@@ -989,7 +1076,17 @@ class KNNIndex:
         avoids a device round trip entirely."""
         assert self._values is not None, "No values attached; call set_values() first."
         q = np.asarray(queries, dtype=np.float64) - self._shift
-        d2 = ((q[:, None, :] - self._points_host[None, :, :]) ** 2).sum(-1)
+        # Gram decomposition ‖q−p‖² = ‖q‖² − 2q·p + ‖p‖²: the cross term is
+        # one dgemm (this host's BLAS is fast at that) instead of a
+        # [Q, N, d] broadcast that materializes ~Q·N·d·8·3 bytes of
+        # temporaries — ~30x faster at N=500k. Points are pre-centered
+        # (self._shift), so the f64 cancellation error is benign here.
+        p = self._points_host
+        pn2 = getattr(self, "_pnorm2_host", None)  # absent in old pickles
+        if pn2 is None:
+            pn2 = self._pnorm2_host = np.einsum("nd,nd->n", p, p)
+        d2 = (q * q).sum(axis=1)[:, None] - 2.0 * (q @ p.T) + pn2[None, :]
+        np.clip(d2, 0.0, None, out=d2)
         idx = np.argpartition(d2, k - 1, axis=1)[:, :k]
         dists = np.sqrt(np.take_along_axis(d2, idx, axis=1))
         w = 1.0 / np.clip(dists, 1e-12, None)

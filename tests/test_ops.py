@@ -324,6 +324,41 @@ class TestBucketGrid:
         assert pred.shape == (200, 2)
         np.testing.assert_allclose(pred, pred_full, rtol=1e-5, atol=1e-6)
 
+    def test_neighbor_table_device_matches_host(self):
+        """The device iota twin of the host neighbor table must agree for
+        every (dims, sentinel) combination the grid planner can emit."""
+        from sparsespatialsampling_tpu.ops.knn import (
+            _grid_neighbor_table, _neighbor_table_jit)
+        for dims in ([7, 5], [1, 9], [4, 9, 6], [1, 1, 1], [17, 2, 31]):
+            dims_a = np.asarray(dims, dtype=np.int64)
+            n = int(np.prod(dims_a))
+            host = _grid_neighbor_table(dims_a, n)
+            dev = np.asarray(_neighbor_table_jit(tuple(dims), n, len(dims)))
+            np.testing.assert_array_equal(host, dev)
+
+    def test_device_grid_build_matches_host_plan(self, monkeypatch):
+        """cell_list / cell_vals / cell_pts assembled on device from the fill
+        triplet must equal the host-assembled plan arrays bit for bit."""
+        from sparsespatialsampling_tpu.ops.knn import _plan_grid
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+        rng = np.random.default_rng(21)
+        pts = rng.uniform(size=(9_000, 3))
+        vals = rng.normal(size=(9_000, 2)).astype(np.float32)
+        index = KNNIndex(pts, values=vals)
+        sorted_pts = (pts - index._shift)[index._perm]
+        plan = _plan_grid(sorted_pts, index.n_points, index._pad_idx,
+                          index.GRID_OCCUPANCY, index.GRID_CAPACITY,
+                          host_arrays=True)
+        np.testing.assert_array_equal(
+            np.asarray(index._grid["cell_list"]), plan["cell_list"])
+        np.testing.assert_array_equal(
+            np.asarray(index._grid["cell_pts"]), plan["cell_pts"])
+        c, p, o = plan["fill"]
+        ref = np.zeros(plan["cell_list"].shape + (2,), np.float32)
+        ref[c, p] = vals[index._perm][o]
+        np.testing.assert_array_equal(
+            np.asarray(index._grid["cell_vals"]), ref)
+
     def test_engine_grid_epoch_equivalent(self, monkeypatch):
         """Refinement grids must be identical with and without the bucket
         grid in the fused epoch kernel."""
