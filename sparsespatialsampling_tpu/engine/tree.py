@@ -119,6 +119,7 @@ class BatchedValidity:
         self._expensive_fns = [
             jax.jit(partial(g.check_cells, refine_geometry=refine_geometry))
             for g in self._expensive]
+        self._cells_fn = None  # lazy jit of the (coords, level) entry
 
     def _run_padded(self, fn, nodes: np.ndarray) -> np.ndarray:
         m = nodes.shape[0]
@@ -126,6 +127,54 @@ class BatchedValidity:
         padded = np.zeros((mp,) + nodes.shape[1:], dtype=np.float32)
         padded[:m] = nodes
         return np.asarray(fn(jnp.asarray(padded)))[:m]
+
+    def from_cells(self, coords: np.ndarray, level: np.ndarray,
+                   lo: np.ndarray, width: float,
+                   offsets: np.ndarray) -> np.ndarray:
+        """Validity straight from integer lattice cells: the corner nodes are
+        computed ON DEVICE in f32, so the link carries ``[M, d+1]`` int32
+        instead of ``[M, 2^d, d]`` f32 (~6x less in 3D) and the float64 host
+        corner assembly (measured ~0.4 s per 100k cells on this host)
+        disappears. The device f32 node positions can differ from the f32
+        cast of the host f64 positions by ~1-2 ulp (double rounding through
+        ``width`` and the final ``lo +`` add) — the same order as the f64→f32
+        cast the old path already applied before the device masks.
+
+        Geometry sets with a bbox pre-select (expensive STL / 2D-coordinate
+        members) need host nodes for the candidate filter — they fall back to
+        the proven ``__call__`` path."""
+        m = coords.shape[0]
+        if m == 0:
+            return np.zeros(0, dtype=bool)
+        if self._expensive:
+            h = (width / np.exp2(level.astype(np.float64)))[:, None, None]
+            nodes = lo + (coords[:, None, :]
+                          + offsets[None, :, :]).astype(np.float64) * h
+            return self(nodes)
+        if self._cheap_fn is None:
+            return np.zeros(m, dtype=bool)
+        if self._cells_fn is None:
+            cheap = list(self._cheap)
+            refine = self._refine_geometry
+            lo32 = jnp.asarray(lo, dtype=jnp.float32)
+            offs32 = jnp.asarray(offsets, dtype=jnp.float32)
+            w32 = jnp.float32(width)
+
+            def fn(c, lev):
+                h32 = w32 / jnp.exp2(lev.astype(jnp.float32))
+                nodes = lo32 + ((c.astype(jnp.float32)[:, None, :]
+                                 + offs32[None, :, :]) * h32[:, None, None])
+                flags = [g.check_cells(nodes, refine) for g in cheap]
+                return reduce(operator.or_, flags)
+
+            self._cells_fn = jax.jit(fn)
+        mp = _bucket(m)
+        cpad = np.zeros((mp, coords.shape[1]), dtype=np.int32)
+        cpad[:m] = coords
+        lpad = np.zeros(mp, dtype=np.int32)
+        lpad[:m] = level
+        return np.asarray(self._cells_fn(
+            jnp.asarray(cpad), jnp.asarray(lpad)))[:m]
 
     def __call__(self, nodes: np.ndarray) -> np.ndarray:
         """``nodes [M, 2^d, d]`` (host) → bool ``[M]`` (host)."""
@@ -327,12 +376,6 @@ class SamplingTree:
         """Cell centers ``lo + (coords + 0.5) * width / 2^level`` (float64)."""
         h = self._width / np.exp2(level.astype(np.float64))[:, None]
         return self._lo + (coords.astype(np.float64) + 0.5) * h
-
-    def _nodes_of(self, coords: np.ndarray, level: np.ndarray) -> np.ndarray:
-        """Corner nodes ``[M, 2^d, d]`` in the reference direction order."""
-        h = self._width / np.exp2(level.astype(np.float64))[:, None, None]
-        corner = coords[:, None, :] + self._offsets[None, :, :]
-        return self._lo + corner.astype(np.float64) * h
 
     def _gain_query_centers(self, coords: np.ndarray, level: np.ndarray) -> np.ndarray:
         """Own center + the 2^d prospective child centers ``[M, 1+2^d, d]``."""
@@ -959,8 +1002,9 @@ class SamplingTree:
         (reference ``_remove_invalid_cells``, s_cube.py:669-732)."""
         if idx.size == 0:
             return
-        nodes = self._nodes_of(self._coords[idx], self._level[idx])
-        invalid = self._validity(nodes)
+        invalid = self._validity.from_cells(
+            self._coords[idx], self._level[idx],
+            self._lo, self._width, self._offsets)
         dead = idx[invalid]
         self._alive[dead] = False
         self._gain[dead] = 0.0
@@ -974,8 +1018,10 @@ class SamplingTree:
         if key not in self._surface_checkers:
             self._surface_checkers[key] = BatchedValidity(
                 [geometry], refine_geometry=True, pre_select=self._pre_select)
-        nodes = self._nodes_of(self._coords[idx], self._level[idx])
-        return idx[self._surface_checkers[key](nodes)]
+        flags = self._surface_checkers[key].from_cells(
+            self._coords[idx], self._level[idx],
+            self._lo, self._width, self._offsets)
+        return idx[flags]
 
     def _captured_metric(self) -> float:
         """Captured fraction = ||metric at alive leaf centers||₂ / ||target||₂.
@@ -1645,8 +1691,9 @@ class SamplingTree:
                 # removed cells' gain is never used, and k-NN queries inside
                 # an obstacle's point-cloud hole would force exact full-scan
                 # fallbacks for nothing
-                nodes = self._nodes_of(self._coords[children], self._level[children])
-                invalid = validity_g(nodes)
+                invalid = validity_g.from_cells(
+                    self._coords[children], self._level[children],
+                    self._lo, self._width, self._offsets)
                 dead = children[invalid]
                 self._alive[dead] = False
                 self._gain[dead] = 0.0
