@@ -60,6 +60,23 @@ def _bucket(n: int, minimum: int = 512) -> int:
     return max(minimum, 1 << int(n - 1).bit_length())
 
 
+@partial(jax.jit, static_argnums=(6,))
+def _pack_loop_window(coords, level, gain, metric, bad, n0, win):
+    """Pack the device-loop's changed-row window into ONE int32 buffer
+    ``[win, d+4]``: coords | level | bitcast(gain) | bitcast(metric) | bad.
+    A single transfer replaces six per-array readbacks, each of which pays
+    a full tunnel round trip. Floats travel as raw bits (int32 lanes are
+    never denormal-flushed)."""
+    sl = partial(jax.lax.dynamic_slice_in_dim,
+                 start_index=n0, slice_size=win, axis=0)
+    return jnp.concatenate([
+        sl(coords),
+        sl(level)[:, None],
+        jax.lax.bitcast_convert_type(sl(gain), jnp.int32)[:, None],
+        jax.lax.bitcast_convert_type(sl(metric), jnp.int32)[:, None],
+        sl(bad).astype(jnp.int32)[:, None]], axis=1)
+
+
 # Max cells per fused-epoch device call, per dimensionality. Each cell
 # issues 1 + 2^d k-NN queries; single programs around ~590k queries crash
 # the remote TPU worker (~295k bisected OK on a 1M-point cloud), and the
@@ -1488,25 +1505,30 @@ class SamplingTree:
             out["maxlev"].astype(jnp.float32),
             out["cpi"].astype(jnp.float32), out["cpi_last"]]))
         ran, fill = int(meta[0]), int(meta[1])
+        retry_rows = np.zeros(0, dtype=np.int64)
         if ran:
             self._grow(fill - n0)
-            # windowed readbacks: only the [n0:fill) rows changed (plus the
-            # alive flags of deactivated parents anywhere) — transfer a
-            # pow2-bucketed dynamic slice, not the whole cap-row state
-            win = _bucket(fill - n0, minimum=1024)
-
-            def rows(arr):
-                return np.asarray(jax.lax.dynamic_slice_in_dim(
-                    arr, n0, min(win, arr.shape[0] - n0), axis=0))[:fill - n0]
-
-            self._coords[n0:fill] = rows(out["coords"])
-            self._level[n0:fill] = rows(out["level"])
+            # ONE packed windowed readback: only the [n0:fill) rows changed
+            # (plus the alive flags of deactivated parents anywhere).
+            # Separate np.asarray calls each pay a full tunnel round trip
+            # (~30-56 ms healthy, seconds degraded); packing coords/level/
+            # gain/metric/bad into a single int32 buffer turns 6 round
+            # trips into 1 (+ the alive bitmap). gain/metric travel as
+            # BITCAST int32 — float bits survive any transfer, while f32
+            # lanes holding small-int coord payloads would risk denormal
+            # flushing through compute ops.
+            win = min(_bucket(fill - n0, minimum=1024), cap + 1 - n0)
+            buf = np.asarray(_pack_loop_window(
+                out["coords"], out["level"], out["gain"], out["metric"],
+                out["bad"], jnp.int32(n0), win))[:fill - n0]
+            self._coords[n0:fill] = buf[:, :d]
+            self._level[n0:fill] = buf[:, d]
             self._alive[:fill] = np.asarray(out["alive"])[:fill]
             # gain is synced for the NEW rows only: rows < n0 are untouched
             # by the loop, and overwriting them would truncate float64
             # host-path gains (deep-level regime) to f32
-            self._gain[n0:fill] = rows(out["gain"])
-            self._metric_arr[n0:fill] = rows(out["metric"])
+            self._gain[n0:fill] = buf[:, d + 1].copy().view(np.float32)
+            self._metric_arr[n0:fill] = buf[:, d + 2].copy().view(np.float32)
             self._n_cells = fill
             self._current_max_level = int(meta[2])
             self._cells_per_iter = int(meta[3])
@@ -1516,6 +1538,7 @@ class SamplingTree:
                     np.asarray(out["ms"])[:ran].astype(float).tolist())
             self._n_cells_log.extend(
                 np.asarray(out["ns"])[:ran].tolist())
+            retry_rows = np.nonzero(buf[:, d + 3])[0] + n0
         st["t_readback_s"] += time() - t_rb
         st["n_calls_main"] += 1
         q_real = (fill - n0) * (1 + n_ch)
@@ -1523,14 +1546,6 @@ class SamplingTree:
         st["gather_bytes"] += q_real * self._epoch_query_cost[0]
         st["flops"] += q_real * self._epoch_query_cost[1]
         st["wall_s"] += time() - t0
-
-        retry_rows = np.zeros(0, dtype=np.int64)
-        if ran:
-            win = _bucket(fill - n0, minimum=1024)
-            bad_w = np.asarray(jax.lax.dynamic_slice_in_dim(
-                out["bad"], n0, min(win, out["bad"].shape[0] - n0),
-                axis=0))[:fill - n0]
-            retry_rows = np.nonzero(bad_w)[0] + n0
         # cache the post-loop device arrays for a cheap re-entry: between
         # device calls the host mutates ONLY the retried rows (via
         # _resolve_retries below); anything else (a host fallback
