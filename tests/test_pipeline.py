@@ -356,6 +356,53 @@ class TestPreSelect:
             "fused epoch kernel was never built despite pre_select"
 
 
+class TestBatchedValidityFromCells:
+    def _nodes(self, coords, level, lo, width, offsets):
+        h = (width / np.exp2(level.astype(np.float64)))[:, None, None]
+        return lo + (coords[:, None, :]
+                     + offsets[None, :, :]).astype(np.float64) * h
+
+    def test_from_cells_matches_call_cheap(self):
+        """Device-built corner nodes must produce the same validity flags as
+        the host-node path for cheap (closed-form) geometry sets."""
+        from sparsespatialsampling_tpu.engine.tree import (BatchedValidity,
+                                                           OFFSETS)
+        from sparsespatialsampling_tpu import SphereGeometry
+        geos = [CubeGeometry("domain", True, [0, 0], [1, 1]),
+                SphereGeometry("hole", False, [0.5, 0.5], 0.2)]
+        lo = np.asarray([0.0, 0.0])
+        width, offsets = 1.0, OFFSETS[2]
+        rng = np.random.default_rng(7)
+        level = rng.integers(2, 7, 4000).astype(np.int32)
+        coords = np.stack([rng.integers(0, 1 << lv) for lv in level])
+        coords = np.stack([coords, np.stack(
+            [rng.integers(0, 1 << lv) for lv in level])], axis=1)
+        for refine in (False, True):
+            bv = BatchedValidity(geos, refine_geometry=refine)
+            a = bv.from_cells(coords, level, lo, width, offsets)
+            b = bv(self._nodes(coords, level, lo, width, offsets))
+            np.testing.assert_array_equal(a, b)
+
+    def test_from_cells_matches_call_expensive(self):
+        """Polygon (pre-select) sets route through the host-node fallback —
+        flags must still be identical to the direct call."""
+        from sparsespatialsampling_tpu.engine.tree import (BatchedValidity,
+                                                           OFFSETS)
+        from sparsespatialsampling_tpu import GeometryCoordinates2D
+        square = np.asarray([[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6]])
+        geos = [GeometryCoordinates2D("sq", False, square)]
+        lo = np.asarray([0.0, 0.0])
+        width, offsets = 1.0, OFFSETS[2]
+        rng = np.random.default_rng(8)
+        level = np.full(1000, 5, dtype=np.int32)
+        coords = rng.integers(0, 32, (1000, 2))
+        bv = BatchedValidity(geos, refine_geometry=False, pre_select=True)
+        assert bv._expensive, "polygon should be pre-select routed"
+        a = bv.from_cells(coords, level, lo, width, offsets)
+        b = bv(self._nodes(coords, level, lo, width, offsets))
+        np.testing.assert_array_equal(a, b)
+
+
 class TestDMD:
     def test_dmd_recovers_oscillation_frequency(self):
         """A single traveling-wave dataset must yield a dominant DMD mode at
