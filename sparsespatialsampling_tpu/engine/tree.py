@@ -77,6 +77,47 @@ def _pack_loop_window(coords, level, gain, metric, bad, n0, win):
         sl(bad).astype(jnp.int32)[:, None]], axis=1)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _unpack_loop_state(buf, cap):
+    """Inverse of the packed device-loop state upload: ``buf [n0p, d+4]``
+    int32 (coords | level | gain.bits | metric.bits | alive) → the five
+    zero-extended ``[cap+1]`` state arrays.  Uploading only the real rows in
+    ONE buffer instead of five full-capacity arrays cuts the loop's fixed
+    per-call upload ~8x (the capacity leaves headroom for 64 iterations of
+    growth that the host rows never contain)."""
+    d = buf.shape[1] - 4
+    n = min(buf.shape[0], cap + 1)
+    coords = jnp.zeros((cap + 1, d), jnp.int32).at[:n].set(buf[:n, :d])
+    level = jnp.zeros(cap + 1, jnp.int32).at[:n].set(buf[:n, d])
+    gain = jnp.zeros(cap + 1, jnp.float32).at[:n].set(
+        jax.lax.bitcast_convert_type(buf[:n, d + 1], jnp.float32))
+    metric = jnp.zeros(cap + 1, jnp.float32).at[:n].set(
+        jax.lax.bitcast_convert_type(buf[:n, d + 2], jnp.float32))
+    alive = jnp.zeros(cap + 1, dtype=jnp.bool_).at[:n].set(buf[:n, d + 3] != 0)
+    return coords, level, alive, gain, metric
+
+
+@jax.jit
+def _pack_loop_result(it, fill, maxlev, cpi, cpi_last, ms, ns, alive):
+    """Pack the device loop's scalar results, per-iteration series and the
+    FULL alive bitmap into one int32 vector, so the post-loop sync costs one
+    tunnel round trip instead of five.  Bit layout (little-endian words):
+    ``[it, fill, maxlev, cpi, cpi_last.bits, ms.bits…, ns…, alive bits…]``."""
+    head = jnp.concatenate([
+        jnp.stack([it, fill, maxlev, cpi]).astype(jnp.int32),
+        jax.lax.bitcast_convert_type(cpi_last.astype(jnp.float32),
+                                     jnp.int32)[None],
+        jax.lax.bitcast_convert_type(ms.astype(jnp.float32), jnp.int32),
+        ns.astype(jnp.int32)])
+    pad = (-alive.shape[0]) % 32
+    a = jnp.concatenate([alive, jnp.zeros(pad, dtype=alive.dtype)])
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    bits = (a.reshape(-1, 32).astype(jnp.uint32) * weights).sum(
+        axis=1, dtype=jnp.uint32)
+    return jnp.concatenate([head,
+                            jax.lax.bitcast_convert_type(bits, jnp.int32)])
+
+
 # Max cells per fused-epoch device call, per dimensionality. Each cell
 # issues 1 + 2^d k-NN queries; single programs around ~590k queries crash
 # the remote TPU worker (~295k bisected OK on a 1M-point cloud), and the
@@ -300,6 +341,7 @@ class SamplingTree:
                                          pre_select=pre_select)
         self._surface_checkers = {}
         self._single_geo_validity = {}
+        self._geo_fused_checkers = {}   # id(g) -> jitted (invalid, surface) fn
         # fused per-epoch kernel (gain + metric + validity in ONE device call
         # and ONE packed readback — device→host syncs dominate the adaptive
         # loop on remote TPUs); built lazily after gain0 exists. Expensive
@@ -924,9 +966,23 @@ class SamplingTree:
         st["t_dispatch_s"] += time() - t_epoch0
 
         t_rb0 = time()
+        # pack all chunk outputs into ONE transfer: each per-chunk
+        # ``np.asarray`` costs a full tunnel round trip (~36-56 ms healthy),
+        # so a multi-chunk sweep (the last uniform level dispatches up to
+        # dozens) pays in latency what the data costs in microseconds.  The
+        # device-side concat is one tiny program shared across equal chunk
+        # layouts.
+        if len(pending) > 1:
+            host = np.asarray(jnp.concatenate([f for _, f in pending], axis=0))
+            outs, off = [], 0
+            for _, f in pending:
+                outs.append(host[off:off + f.shape[0]])
+                off += f.shape[0]
+        else:
+            outs = [np.asarray(f) for _, f in pending]
         retry = []
-        for part, fut in pending:
-            out = np.asarray(fut)[:part.size]
+        for (part, fut), out_pad in zip(pending, outs):
+            out = out_pad[:part.size]
             # grid path: cells whose k-NN could not be answered exactly from
             # the 3^d neighborhood re-run through the full-scan kernel —
             # EXCEPT cells the geometry check already invalidated (e.g.
@@ -981,9 +1037,18 @@ class SamplingTree:
                           minimum=128))
                 for lo in range(0, retry_idx.size, 256)]
             st["n_calls_ring"] += len(ring_pending)
+            if len(ring_pending) > 1:   # one packed transfer (see above)
+                host = np.asarray(jnp.concatenate(
+                    [f for _, f in ring_pending], axis=0))
+                r_outs, off = [], 0
+                for _, f in ring_pending:
+                    r_outs.append(host[off:off + f.shape[0]])
+                    off += f.shape[0]
+            else:
+                r_outs = [np.asarray(f) for _, f in ring_pending]
             still = []
-            for part, fut in ring_pending:
-                out = np.asarray(fut)[:part.size]
+            for (part, fut), out_pad in zip(ring_pending, r_outs):
+                out = out_pad[:part.size]
                 bad2 = (out[:, 3] > 0.5) & ~(out[:, 2] > 0.5)
                 self._apply_epoch_out(part[~bad2], out[~bad2])
                 if bad2.any():
@@ -1040,6 +1105,38 @@ class SamplingTree:
             self._lo, self._width, self._offsets)
         return idx[flags]
 
+    def _geo_refine_flags(self, g, idx: np.ndarray):
+        """``(invalid, surface)`` flags of cells ``idx`` w.r.t. ONE geometry
+        in a single device call — the geometry-refinement loop otherwise pays
+        two round trips per level (validity, then surface find) over the same
+        children.  The per-node inside masks are shared between the two
+        reductions by XLA CSE.  Only for device-evaluated geometries; bbox
+        pre-select geometries go through the host two-call route."""
+        m = idx.size
+        key = id(g)
+        fn = self._geo_fused_checkers.get(key)
+        if fn is None:
+            lo32 = jnp.asarray(self._lo, dtype=jnp.float32)
+            offs32 = jnp.asarray(self._offsets, dtype=jnp.float32)
+            w32 = jnp.float32(self._width)
+
+            def fused(c, lev):
+                h32 = w32 / jnp.exp2(lev.astype(jnp.float32))
+                nodes = lo32 + ((c.astype(jnp.float32)[:, None, :]
+                                 + offs32[None, :, :]) * h32[:, None, None])
+                return jnp.stack([g.check_cells(nodes, False),
+                                  g.check_cells(nodes, True)], axis=1)
+
+            fn = jax.jit(fused)
+            self._geo_fused_checkers[key] = fn
+        mp = _bucket(m)
+        cpad = np.zeros((mp, self._n_dimensions), dtype=np.int32)
+        cpad[:m] = self._coords[idx]
+        lpad = np.zeros(mp, dtype=np.int32)
+        lpad[:m] = self._level[idx]
+        out = np.asarray(fn(jnp.asarray(cpad), jnp.asarray(lpad)))[:m]
+        return out[:, 0], out[:, 1]
+
     def _captured_metric(self) -> float:
         """Captured fraction = ||metric at alive leaf centers||₂ / ||target||₂.
 
@@ -1067,6 +1164,44 @@ class SamplingTree:
         self._current_max_level = max(self._current_max_level, int(child_level.max()))
         return new_idx
 
+    def _uniform_validity_flags(self):
+        """Geometry-validity flags for the FULL lattices of levels
+        ``1 .. min_level-1``, evaluated in ONE device call.
+
+        The early uniform sweeps' lattices sum to < 1/(2^d - 1) of the final
+        sweep's cell count, yet the per-sweep path pays one dispatch + one
+        readback round trip (and one distinctly-shaped compiled program)
+        each.  Validity of a lattice cell is context-free — it never depends
+        on which ancestors survived — so every early sweep's flags can be
+        precomputed over the full (unpruned) lattice up front and the sweeps
+        replayed host-side with pure numpy indexing.  Returns
+        ``{level: flat bool array}`` in meshgrid-ij row-major order, or
+        ``None`` when the per-sweep path should run instead."""
+        L, d = self._min_level, self._n_dimensions
+        if L <= 2:
+            return None   # at most one early sweep — nothing to batch
+        total = sum(1 << (d * j) for j in range(1, L))
+        # the host-node fallback (bbox pre-select geometries) materializes
+        # f64 corner nodes for every cell — keep that path small
+        cap = (1 << 18) if self._validity._expensive else (1 << 21)
+        if total > cap:
+            return None
+        coords = [np.stack(np.meshgrid(
+                      *([np.arange(1 << j, dtype=np.int64)] * d),
+                      indexing="ij"), -1).reshape(-1, d)
+                  for j in range(1, L)]
+        levels = [np.full(c.shape[0], j + 1, dtype=np.int32)
+                  for j, c in enumerate(coords)]
+        flags = self._validity.from_cells(
+            np.concatenate(coords), np.concatenate(levels),
+            self._lo, self._width, self._offsets)
+        out, off = {}, 0
+        for j in range(1, L):
+            n = 1 << (d * j)
+            out[j] = flags[off:off + n]
+            off += n
+        return out
+
     def _refine_uniform(self) -> None:
         """Uniform background refinement (reference ``s_cube.py:508-561``):
         every sweep splits all alive leaves into 2^d children.
@@ -1075,18 +1210,28 @@ class SamplingTree:
         alive leaf of an earlier sweep is re-split on the next one, so the
         intermediate gains and metrics are dead values — the only thing an
         early sweep must decide is which children are invalid (pruning their
-        subtrees).  Early sweeps therefore run the much cheaper
-        geometry-validity kernel alone (one device call, no k-NN), which
-        also skips the exact-fallback retry escalations near point-cloud
-        holes that k-NN queries of coarse cells trigger."""
+        subtrees).  Early sweeps therefore need only geometry validity,
+        which is precomputed for all of them in one device call
+        (``_uniform_validity_flags``); each sweep then prunes via a host
+        lookup instead of its own device round trip."""
         logger.info("Uniform refinement phase.")
         self._times["t_start_uniform"] = time()
+        flags = self._uniform_validity_flags()
         for j in range(self._min_level):
             leaves = self._alive_idx()
             logger.info(f"\tStarting iteration no. {j}, N_cells = {leaves.size}")
             children = self._split(leaves)
             if j < self._min_level - 1:
-                self._remove_invalid_cells(children)
+                if flags is not None:
+                    lvl = j + 1
+                    c = self._coords[children]
+                    flat = np.ravel_multi_index(
+                        tuple(c.T), (1 << lvl,) * self._n_dimensions)
+                    dead = children[flags[lvl][flat]]
+                    self._alive[dead] = False
+                    self._gain[dead] = 0.0
+                else:
+                    self._remove_invalid_cells(children)
             else:
                 self._process_new_cells(children)
             self._current_min_level += 1
@@ -1449,19 +1594,20 @@ class SamplingTree:
             alive_d, gain_d = arrays["alive"], arrays["gain"]
             metric_d = arrays["metric"]
         else:
-            coords = np.zeros((cap + 1, d), dtype=np.int32)
-            coords[:n0] = self._coords[:n0]
-            level = np.zeros(cap + 1, dtype=np.int32)
-            level[:n0] = self._level[:n0]
-            alive = np.zeros(cap + 1, dtype=bool)
-            alive[:n0] = self._alive[:n0]
-            gain = np.zeros(cap + 1, dtype=np.float32)
-            gain[:n0] = self._gain[:n0]
-            metric = np.zeros(cap + 1, dtype=np.float32)
-            metric[:n0] = self._metric_arr[:n0]
-            coords_d, level_d = jnp.asarray(coords), jnp.asarray(level)
-            alive_d, gain_d = jnp.asarray(alive), jnp.asarray(gain)
-            metric_d = jnp.asarray(metric)
+            # ONE packed upload of the real rows only; the device
+            # zero-extends to capacity (the cap's growth headroom never
+            # holds host data, so shipping it was pure wire waste)
+            n0p = _bucket(max(n0, 1), minimum=1024)
+            buf = np.zeros((n0p, d + 4), dtype=np.int32)
+            buf[:n0, :d] = self._coords[:n0]
+            buf[:n0, d] = self._level[:n0]
+            buf[:n0, d + 1] = np.asarray(
+                self._gain[:n0], dtype=np.float32).view(np.int32)
+            buf[:n0, d + 2] = np.asarray(
+                self._metric_arr[:n0], dtype=np.float32).view(np.int32)
+            buf[:n0, d + 3] = self._alive[:n0]
+            coords_d, level_d, alive_d, gain_d, metric_d = \
+                _unpack_loop_state(jnp.asarray(buf), cap)
         state = {
             "coords": coords_d, "level": level_d,
             "alive": alive_d, "gain": gain_d,
@@ -1497,14 +1643,14 @@ class SamplingTree:
         out = fn(state, params, *self._dil_core_args)
         st["t_dispatch_s"] += time() - t0
         t_rb = time()
-        # one packed transfer for ALL scalars (each np.asarray of a device
-        # scalar pays a full tunnel round trip); f32 is exact for every
-        # field here while cap stays below 2^24 rows
-        meta = np.asarray(jnp.stack([
-            out["it"].astype(jnp.float32), out["fill"].astype(jnp.float32),
-            out["maxlev"].astype(jnp.float32),
-            out["cpi"].astype(jnp.float32), out["cpi_last"]]))
-        ran, fill = int(meta[0]), int(meta[1])
+        # one packed transfer for ALL scalars, the per-iteration series AND
+        # the alive bitmap (each separate np.asarray pays a full tunnel
+        # round trip)
+        iters = self._DEVICE_LOOP_ITERS
+        res = np.asarray(_pack_loop_result(
+            out["it"], out["fill"], out["maxlev"], out["cpi"],
+            out["cpi_last"], out["ms"], out["ns"], out["alive"]))
+        ran, fill = int(res[0]), int(res[1])
         retry_rows = np.zeros(0, dtype=np.int64)
         if ran:
             self._grow(fill - n0)
@@ -1523,21 +1669,22 @@ class SamplingTree:
                 out["bad"], jnp.int32(n0), win))[:fill - n0]
             self._coords[n0:fill] = buf[:, :d]
             self._level[n0:fill] = buf[:, d]
-            self._alive[:fill] = np.asarray(out["alive"])[:fill]
+            alive_bits = res[5 + 2 * iters:].view(np.uint32)
+            self._alive[:fill] = np.unpackbits(
+                alive_bits.view(np.uint8), bitorder="little")[:fill]
             # gain is synced for the NEW rows only: rows < n0 are untouched
             # by the loop, and overwriting them would truncate float64
             # host-path gains (deep-level regime) to f32
             self._gain[n0:fill] = buf[:, d + 1].copy().view(np.float32)
             self._metric_arr[n0:fill] = buf[:, d + 2].copy().view(np.float32)
             self._n_cells = fill
-            self._current_max_level = int(meta[2])
-            self._cells_per_iter = int(meta[3])
-            self._cells_per_iter_last = float(meta[4])
+            self._current_max_level = int(res[2])
+            self._cells_per_iter = int(res[3])
+            self._cells_per_iter_last = float(res[4:5].view(np.float32)[0])
             if metric_mode:
                 self._metric.extend(
-                    np.asarray(out["ms"])[:ran].astype(float).tolist())
-            self._n_cells_log.extend(
-                np.asarray(out["ns"])[:ran].tolist())
+                    res[5:5 + ran].view(np.float32).astype(float).tolist())
+            self._n_cells_log.extend(res[5 + iters:5 + iters + ran].tolist())
             retry_rows = np.nonzero(buf[:, d + 3])[0] + n0
         st["t_readback_s"] += time() - t_rb
         st["n_calls_main"] += 1
@@ -1678,8 +1825,21 @@ class SamplingTree:
                 self._single_geo_validity[id(g)] = BatchedValidity(
                     [g], refine_geometry=False, pre_select=self._pre_select)
             validity_g = self._single_geo_validity[id(g)]
+            # the reference gates expensive geometries behind a bbox
+            # ``pre_check_cell`` (s_cube.py:1832-1834) — a CPU-era
+            # optimization; on TPU the full vectorized predicate over every
+            # cell is cheaper than the host round trips the gate costs, and
+            # both give identical flags (the bbox default IS the predicate's
+            # answer outside the bbox).  The fused one-call path computes
+            # f32 corner nodes on device (exact on lattices to 2^23), so
+            # trees deeper than level 22 keep the host-f64 two-call route.
+            fused = self._current_max_level <= 22
 
-            surface = self._find_surface_cells(self._alive_idx(), g)
+            if fused:
+                alive = self._alive_idx()
+                surface = alive[self._geo_refine_flags(g, alive)[1]]
+            else:
+                surface = self._find_surface_cells(self._alive_idx(), g)
             if surface.size == 0:
                 logger.warning("Could not find any cells to refine. "
                                "Skipping geometry refinement.")
@@ -1702,20 +1862,27 @@ class SamplingTree:
                 children = self._split(to_refine)
 
                 # remove children invalid w.r.t. THIS geometry only (mirrors
-                # reference semantics, s_cube.py:850) BEFORE the gain update:
-                # removed cells' gain is never used, and k-NN queries inside
-                # an obstacle's point-cloud hole would force exact full-scan
-                # fallbacks for nothing
-                invalid = validity_g.from_cells(
-                    self._coords[children], self._level[children],
-                    self._lo, self._width, self._offsets)
+                # reference semantics, s_cube.py:850); the next level's
+                # surface set is the surviving children near the surface.
+                # Two reference behaviors are deliberately dropped here:
+                # gain/metric recomputation for the children (reference
+                # ``_refine_cells`` → ``_update_gain``, s_cube.py:865-902 —
+                # the adaptive loop is already over, so nothing ever reads
+                # those values again in either implementation; skipping it
+                # drops a k-NN epoch per level), and the separate
+                # validity-then-surface round trips, fused into ONE device
+                # call for device-evaluated geometries.
+                if fused and gmin + 1 <= 22:
+                    invalid, surf = self._geo_refine_flags(g, children)
+                    surface = children[~invalid & surf]
+                else:
+                    invalid = validity_g.from_cells(
+                        self._coords[children], self._level[children],
+                        self._lo, self._width, self._offsets)
+                    surface = self._find_surface_cells(children[~invalid], g)
                 dead = children[invalid]
                 self._alive[dead] = False
                 self._gain[dead] = 0.0
-
-                valid_children = children[~invalid]
-                self._update_gain(valid_children)
-                surface = self._find_surface_cells(valid_children, g)
                 gmin += 1
 
         self._current_max_level = int(self._level[self._alive_idx()].max())

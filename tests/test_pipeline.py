@@ -78,6 +78,34 @@ class TestRefinement:
                     "t_adaptive", "t_renumbering", "size_initial_cell"):
             assert key in info
 
+    def test_uniform_fused_validity_matches_per_sweep(self, cloud_2d,
+                                                      monkeypatch):
+        """The precomputed one-call uniform validity flags must prune exactly
+        the cells the per-sweep device path prunes (same alive set, same
+        creation indices)."""
+        from sparsespatialsampling_tpu.engine.tree import SamplingTree
+        xy, metric = cloud_2d
+        hole = ~(np.square(xy - [0.3, 0.3]).sum(1) < 0.15 ** 2)
+        geo_fn = lambda: [CubeGeometry("domain", True, [0, 0], [1, 1]),
+                          SphereGeometry("hole", False, [0.3, 0.3], 0.15)]
+
+        def uniform_alive(fused):
+            tree = SamplingTree(xy[hole], metric[hole], geo_fn(),
+                                uniform_level=4, min_metric=0.7)
+            assert (tree._uniform_validity_flags() is not None) or not fused
+            if not fused:
+                monkeypatch.setattr(tree, "_uniform_validity_flags",
+                                    lambda: None)
+            tree._refine_uniform()
+            alive = tree._alive_idx()
+            return alive, tree._coords[alive], tree._level[alive]
+
+        a_idx, a_coords, a_level = uniform_alive(True)
+        b_idx, b_coords, b_level = uniform_alive(False)
+        assert np.array_equal(a_idx, b_idx)
+        assert np.array_equal(a_coords, b_coords)
+        assert np.array_equal(a_level, b_level)
+
     def test_checkpoint_files_written(self, executed_s3):
         assert os.path.isfile(os.path.join(executed_s3.save_path, "mesh_info_t.pt"))
         assert os.path.isfile(os.path.join(executed_s3.save_path, "s_cube_t.pt"))
@@ -401,6 +429,33 @@ class TestBatchedValidityFromCells:
         a = bv.from_cells(coords, level, lo, width, offsets)
         b = bv(self._nodes(coords, level, lo, width, offsets))
         np.testing.assert_array_equal(a, b)
+
+    def test_geo_refine_flags_match_two_call_path(self, cloud_2d):
+        """The fused per-level (invalid, surface) kernel used by geometry
+        refinement must equal the two separate BatchedValidity calls."""
+        from sparsespatialsampling_tpu.engine.tree import (BatchedValidity,
+                                                           SamplingTree)
+        from sparsespatialsampling_tpu import SphereGeometry
+        xy, metric = cloud_2d
+        g = SphereGeometry("hole", False, [0.4, 0.4], 0.2, refine=True,
+                           min_refinement_level=6)
+        tree = SamplingTree(xy, metric,
+                            [CubeGeometry("domain", True, [0, 0], [1, 1]), g],
+                            uniform_level=4, min_metric=0.6)
+        tree._refine_uniform()
+        idx = tree._alive_idx()
+        inv_f, surf_f = tree._geo_refine_flags(g, idx)
+        inv_r = BatchedValidity([g], refine_geometry=False).from_cells(
+            tree._coords[idx], tree._level[idx],
+            tree._lo, tree._width, tree._offsets)
+        surf_r = BatchedValidity([g], refine_geometry=True).from_cells(
+            tree._coords[idx], tree._level[idx],
+            tree._lo, tree._width, tree._offsets)
+        np.testing.assert_array_equal(inv_f, inv_r)
+        np.testing.assert_array_equal(surf_f, surf_r)
+        # invalid cells were pruned during the uniform phase already — only
+        # the surface flags are expected to be non-trivial here
+        assert surf_f.any()
 
 
 class TestDMD:
