@@ -117,6 +117,28 @@ class TestRefinement:
 
 
 class TestRefinementModes:
+    def test_multi_chunk_epoch_packed_readback(self, cloud_2d, monkeypatch):
+        """Force the epoch into many chunks: the packed one-transfer
+        readback must produce the identical tree to single-chunk runs."""
+        from sparsespatialsampling_tpu.engine import tree as tree_mod
+        from sparsespatialsampling_tpu.engine.tree import SamplingTree
+        xy, metric = cloud_2d
+        geo = lambda: [CubeGeometry("domain", True, [0, 0], [1, 1])]
+
+        def run():
+            t = SamplingTree(xy, metric, geo(), uniform_level=4,
+                             min_metric=0.85)
+            t.refine()
+            alive = t._alive_idx()
+            return t._coords[alive], t._level[alive]
+
+        monkeypatch.setenv("S3_TPU_DEVICE_LOOP", "0")  # host loop = chunked
+        ca, la = run()
+        monkeypatch.setitem(tree_mod._EPOCH_CHUNK, 2, 64)  # many tiny chunks
+        cb, lb = run()
+        np.testing.assert_array_equal(ca, cb)
+        np.testing.assert_array_equal(la, lb)
+
     def test_n_cells_max_mode(self, cloud_2d, tmp_path):
         xy, metric = cloud_2d
         s3 = SparseSpatialSampling(
