@@ -139,6 +139,23 @@ class TestRefinementModes:
         np.testing.assert_array_equal(ca, cb)
         np.testing.assert_array_equal(la, lb)
 
+    def test_uniform_flags_fallback_guards(self, cloud_2d):
+        """The one-call uniform validity precompute must decline (return
+        None) when there is at most one early sweep or when the lattice sum
+        exceeds the memory cap — the per-sweep path still runs then."""
+        from sparsespatialsampling_tpu.engine.tree import SamplingTree
+        xy, metric = cloud_2d
+        geo = lambda: [CubeGeometry("domain", True, [0, 0], [1, 1])]
+        t2 = SamplingTree(xy, metric, geo(), uniform_level=2, min_metric=0.7)
+        assert t2._uniform_validity_flags() is None
+        t3 = SamplingTree(xy, metric, geo(), uniform_level=3, min_metric=0.7)
+        flags = t3._uniform_validity_flags()
+        assert flags is not None and set(flags) == {1, 2}
+        assert flags[1].shape == (4,) and flags[2].shape == (16,)
+        t12 = SamplingTree(xy, metric, geo(), uniform_level=13,
+                           min_metric=0.7)
+        assert t12._uniform_validity_flags() is None  # 2^24+ cells > cap
+
     def test_n_cells_max_mode(self, cloud_2d, tmp_path):
         xy, metric = cloud_2d
         s3 = SparseSpatialSampling(
