@@ -115,6 +115,24 @@ def _search(queries, points, points_sq, k: int, tile_n: int, tile_q: int):
     return sq.reshape(-1, k), idx.reshape(-1, k)
 
 
+@jax.jit
+def _pack_i32(*arrs):
+    """Pack same-row-count device arrays into ONE int32 matrix so a chunked
+    kernel's outputs cross the link in a single transfer (each separate
+    ``np.asarray`` pays a full tunnel round trip).  f32 columns travel as
+    raw bits; everything else is cast to int32."""
+    cols = []
+    for a in arrs:
+        if a.ndim == 1:
+            a = a[:, None]
+        if a.dtype == jnp.float32:
+            a = jax.lax.bitcast_convert_type(a, jnp.int32)
+        else:
+            a = a.astype(jnp.int32)
+        cols.append(a)
+    return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+
 def _sort_neighbors(sq, idx, *payload):
     """Canonical neighbor order: ascending ``(sq, idx)`` lexicographic.
 
@@ -883,22 +901,33 @@ class KNNIndex:
         else:
             out_sq = np.empty((q_total, k), dtype=np.float32)
             out_idx = np.empty((q_total, k), dtype=np.int32)
+        # pack every chunk's outputs into one int32 matrix on device and
+        # read ALL chunks back in a single transfer; for "query_idx" the
+        # sq buffer never crosses the link (distances are recomputed
+        # host-side from the centered cloud)
+        if mode == "predict":
+            packed = [_pack_i32(fut[0], fut[1]) for _, _, fut in pending]
+        elif mode == "query_idx":
+            packed = [_pack_i32(fut[1], fut[2]) for _, _, fut in pending]
+        else:
+            packed = [_pack_i32(fut[0], fut[1], fut[2])
+                      for _, _, fut in pending]
+        buf = np.asarray(packed[0] if len(packed) == 1
+                         else jnp.concatenate(packed, axis=0))
         bad_rows = []
-        for lo, n, fut in pending:
+        off = 0
+        for (lo, n, fut), pk in zip(pending, packed):
+            rows = buf[off:off + n]
+            off += pk.shape[0]
             if mode == "predict":
-                pred, ok = fut
-                out[lo:lo + n] = np.asarray(pred)[:n]
+                out[lo:lo + n] = rows[:, :-1].copy().view(
+                    np.float32).reshape(out[lo:lo + n].shape)
             elif mode == "query_idx":
-                # indices-only readback: the sq buffer never crosses the
-                # link (halves the [Q, k] transfer; distances are
-                # recomputed host-side from the centered cloud)
-                _, idx, ok = fut
-                out_idx[lo:lo + n] = np.asarray(idx)[:n]
+                out_idx[lo:lo + n] = rows[:, :k]
             else:
-                sq, idx, ok = fut
-                out_sq[lo:lo + n] = np.asarray(sq)[:n]
-                out_idx[lo:lo + n] = np.asarray(idx)[:n]
-            ok = np.asarray(ok)[:n]
+                out_sq[lo:lo + n] = rows[:, :k].copy().view(np.float32)
+                out_idx[lo:lo + n] = rows[:, k:2 * k]
+            ok = rows[:, -1] != 0
             bad_rows.append(lo + np.nonzero(~ok)[0])
 
         bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, dtype=int)
