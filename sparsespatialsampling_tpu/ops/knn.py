@@ -812,12 +812,34 @@ class KNNIndex:
             qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
             qarr[:n] = chunk
             pending.append((kernel_args_fn(jnp.asarray(qarr)), n))
-        outs = [tuple(np.asarray(o)[:n] for o in out)
-                if isinstance(out, tuple) else np.asarray(out)[:n]
-                for out, n in pending]
-        if isinstance(outs[0], tuple):
-            return tuple(np.concatenate(parts) for parts in zip(*outs))
-        return np.concatenate(outs)
+        # one packed transfer for ALL chunks and output arrays (see
+        # _pack_i32); columns are decoded by the first chunk's dtypes
+        first = pending[0][0]
+        parts0 = first if isinstance(first, tuple) else (first,)
+        widths = [1 if o.ndim == 1 else o.shape[1] for o in parts0]
+        flat1d = [o.ndim == 1 for o in parts0]
+        dts = [o.dtype for o in parts0]
+        packed = [_pack_i32(*(out if isinstance(out, tuple) else (out,)))
+                  for out, _ in pending]
+        buf = np.asarray(packed[0] if len(packed) == 1
+                         else jnp.concatenate(packed, axis=0))
+        if buf.ndim == 1:
+            buf = buf[:, None]
+        chunks = []
+        off_r = 0
+        for (out, n), pk in zip(pending, packed):
+            rows = buf[off_r:off_r + n]
+            off_r += pk.shape[0]
+            fields, off_c = [], 0
+            for w_, dt, f1 in zip(widths, dts, flat1d):
+                col = rows[:, off_c:off_c + w_]
+                off_c += w_
+                if dt == jnp.float32:
+                    col = col.copy().view(np.float32)
+                fields.append(col[:, 0] if f1 else col)
+            chunks.append(tuple(fields))
+        merged = tuple(np.concatenate(ps) for ps in zip(*chunks))
+        return merged if isinstance(first, tuple) else merged[0]
 
     @property
     def _perm_pad(self):
