@@ -1074,13 +1074,10 @@ class KNNIndex:
                     g["origin"], g["inv_h"], g["dims"], k))
 
         # tiny readback: only the ok bitmaps decide the exact-fallback rows
-        bad_rows = []
-        for i, (_, _, ok) in enumerate(parts):
-            okh = np.asarray(ok)
-            hi = min((i + 1) * chunk, n)
-            rows = i * chunk + np.nonzero(~okh[:max(hi - i * chunk, 0)])[0]
-            bad_rows.append(rows)
-        bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, int)
+        # (all chunks' bitmaps concatenated on device -> ONE transfer)
+        ok_all = np.asarray(jnp.concatenate([p[2] for p in parts])
+                            if len(parts) > 1 else parts[0][2])
+        bad = np.nonzero(~ok_all[:n])[0]
         self.last_fallback = int(bad.size)  # exact-fallback row count
 
         sq_dev = (jnp.concatenate([p[0] for p in parts])
