@@ -40,6 +40,7 @@ from ..ops.knn import (KNNIndex, _search, _idw, _grid_neighborhood,
                        _sort_neighbors, _dilated_topk, _dilated_select,
                        _grid_query_margin, _overflow_contaminated)
 from ..ops import morton
+from ..ops.transfer import packed_readback
 
 logger = logging.getLogger(__name__)
 
@@ -969,17 +970,8 @@ class SamplingTree:
         # pack all chunk outputs into ONE transfer: each per-chunk
         # ``np.asarray`` costs a full tunnel round trip (~36-56 ms healthy),
         # so a multi-chunk sweep (the last uniform level dispatches up to
-        # dozens) pays in latency what the data costs in microseconds.  The
-        # device-side concat is one tiny program shared across equal chunk
-        # layouts.
-        if len(pending) > 1:
-            host = np.asarray(jnp.concatenate([f for _, f in pending], axis=0))
-            outs, off = [], 0
-            for _, f in pending:
-                outs.append(host[off:off + f.shape[0]])
-                off += f.shape[0]
-        else:
-            outs = [np.asarray(f) for _, f in pending]
+        # dozens) pays in latency what the data costs in microseconds.
+        outs = packed_readback([f for _, f in pending])
         retry = []
         for (part, fut), out_pad in zip(pending, outs):
             out = out_pad[:part.size]
@@ -1037,15 +1029,7 @@ class SamplingTree:
                           minimum=128))
                 for lo in range(0, retry_idx.size, 256)]
             st["n_calls_ring"] += len(ring_pending)
-            if len(ring_pending) > 1:   # one packed transfer (see above)
-                host = np.asarray(jnp.concatenate(
-                    [f for _, f in ring_pending], axis=0))
-                r_outs, off = [], 0
-                for _, f in ring_pending:
-                    r_outs.append(host[off:off + f.shape[0]])
-                    off += f.shape[0]
-            else:
-                r_outs = [np.asarray(f) for _, f in ring_pending]
+            r_outs = packed_readback([f for _, f in ring_pending])
             still = []
             for (part, fut), out_pad in zip(ring_pending, r_outs):
                 out = out_pad[:part.size]
@@ -1832,8 +1816,15 @@ class SamplingTree:
             # both give identical flags (the bbox default IS the predicate's
             # answer outside the bbox).  The fused one-call path computes
             # f32 corner nodes on device (exact on lattices to 2^23), so
-            # trees deeper than level 22 keep the host-f64 two-call route.
-            fused = self._current_max_level <= 22
+            # trees deeper than level 22 keep the host-f64 two-call route —
+            # as do pre-select expensive geometries (STL / 2D coordinates),
+            # whose bbox candidate filter needs host-f64 nodes and matches
+            # every other expensive-geometry evaluation in this engine
+            # (``BatchedValidity.from_cells`` falls back the same way).
+            pre_sel = (self._pre_select
+                       and g.type in BatchedValidity._EXPENSIVE_TYPES
+                       and g.bounding_box() is not None)
+            fused = self._current_max_level <= 22 and not pre_sel
 
             if fused:
                 alive = self._alive_idx()

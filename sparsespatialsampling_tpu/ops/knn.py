@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .._backend import enable_compilation_cache
+from .transfer import packed_readback
 
 enable_compilation_cache()
 
@@ -678,7 +679,6 @@ class KNNIndex:
         self._points = jnp.asarray(pts, dtype=dtype)
         self._points_sq = jnp.asarray(sq, dtype=jnp.float32)
         self._points_host = centered  # for predict_host (tiny-query fast path)
-        self._pnorm2_host = None      # lazy ‖p‖² cache for predict_host
         self._pad_idx = self.n_points  # first pad row (always exists)
 
         self._grid = None
@@ -821,15 +821,10 @@ class KNNIndex:
         dts = [o.dtype for o in parts0]
         packed = [_pack_i32(*(out if isinstance(out, tuple) else (out,)))
                   for out, _ in pending]
-        buf = np.asarray(packed[0] if len(packed) == 1
-                         else jnp.concatenate(packed, axis=0))
-        if buf.ndim == 1:
-            buf = buf[:, None]
+        hosts = packed_readback(packed)
         chunks = []
-        off_r = 0
-        for (out, n), pk in zip(pending, packed):
-            rows = buf[off_r:off_r + n]
-            off_r += pk.shape[0]
+        for (out, n), pk in zip(pending, hosts):
+            rows = pk[:n]
             fields, off_c = [], 0
             for w_, dt, f1 in zip(widths, dts, flat1d):
                 col = rows[:, off_c:off_c + w_]
@@ -934,13 +929,10 @@ class KNNIndex:
         else:
             packed = [_pack_i32(fut[0], fut[1], fut[2])
                       for _, _, fut in pending]
-        buf = np.asarray(packed[0] if len(packed) == 1
-                         else jnp.concatenate(packed, axis=0))
+        hosts = packed_readback(packed)
         bad_rows = []
-        off = 0
-        for (lo, n, fut), pk in zip(pending, packed):
-            rows = buf[off:off + n]
-            off += pk.shape[0]
+        for (lo, n, fut), pk in zip(pending, hosts):
+            rows = pk[:n]
             if mode == "predict":
                 out[lo:lo + n] = rows[:, :-1].copy().view(
                     np.float32).reshape(out[lo:lo + n].shape)
@@ -1074,9 +1066,8 @@ class KNNIndex:
                     g["origin"], g["inv_h"], g["dims"], k))
 
         # tiny readback: only the ok bitmaps decide the exact-fallback rows
-        # (all chunks' bitmaps concatenated on device -> ONE transfer)
-        ok_all = np.asarray(jnp.concatenate([p[2] for p in parts])
-                            if len(parts) > 1 else parts[0][2])
+        # (all chunks' bitmaps staged into ONE transfer)
+        ok_all = np.concatenate(packed_readback([p[2] for p in parts]))
         bad = np.nonzero(~ok_all[:n])[0]
         self.last_fallback = int(bad.size)  # exact-fallback row count
 

@@ -404,6 +404,32 @@ class TestPreSelect:
         np.testing.assert_allclose(grids[0][0], grids[1][0])
         np.testing.assert_array_equal(grids[0][1], grids[1][1])
 
+    def test_geometry_refinement_pre_select_equivalent(self, cloud_2d,
+                                                       tmp_path):
+        """Surface refinement of a pre-select (expensive) polygon routes
+        through the host two-call path (the fused f32 device kernel is gated
+        to device-evaluated geometries) and must yield the same refined grid
+        as the non-pre-select run (reference contract: pre_select is a pure
+        optimization)."""
+        from sparsespatialsampling_tpu import GeometryCoordinates2D
+        xy, metric = cloud_2d
+        square = np.asarray([[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6]])
+        outside = ~(np.logical_and(xy > 0.4, xy < 0.6).all(1))
+        grids = []
+        for pre in (False, True):
+            geo = [CubeGeometry("domain", True, [0, 0], [1, 1]),
+                   GeometryCoordinates2D("sq", False, square, refine=True,
+                                         min_refinement_level=5)]
+            s3 = SparseSpatialSampling(
+                xy[outside], metric[outside], geo, save_path=str(tmp_path),
+                save_name=f"gr{pre}", uniform_levels=3, min_metric=0.6,
+                pre_select_cells=pre)
+            s3.execute_grid_generation()
+            grids.append((s3.centers, s3.levels))
+        assert (grids[0][1] >= 5).any(), "surface refinement never ran"
+        np.testing.assert_allclose(grids[0][0], grids[1][0])
+        np.testing.assert_array_equal(grids[0][1], grids[1][1])
+
     def test_fused_epoch_active_with_pre_select_polygon(self, cloud_2d):
         """With pre_select=True and an expensive (polygon) geometry the
         adaptive loop must still run the fused single-readback epoch kernel
