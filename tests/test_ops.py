@@ -382,3 +382,28 @@ class TestBucketGrid:
         c_full, l_full = build()
         np.testing.assert_allclose(c_grid, c_full)
         np.testing.assert_array_equal(l_grid, l_full)
+
+
+class TestPackedReadback:
+    def test_shapes_dtypes_roundtrip(self):
+        """packed_readback returns host copies identical to per-array
+        np.asarray for mixed shapes within one dtype."""
+        import jax.numpy as jnp
+        from sparsespatialsampling_tpu.ops.transfer import packed_readback
+        rng = np.random.default_rng(12)
+        for dtype in (np.int32, np.float32, np.bool_):
+            arrs = [rng.integers(0, 2, (7, 3)).astype(dtype),
+                    rng.integers(0, 2, (128, 5)).astype(dtype),
+                    rng.integers(0, 2, (1,)).astype(dtype)]
+            outs = packed_readback([jnp.asarray(a) for a in arrs])
+            assert len(outs) == len(arrs)
+            for a, o in zip(arrs, outs):
+                assert o.shape == a.shape and o.dtype == a.dtype
+                np.testing.assert_array_equal(o, a)
+
+    def test_single_buffer_passthrough(self):
+        import jax.numpy as jnp
+        from sparsespatialsampling_tpu.ops.transfer import packed_readback
+        a = np.arange(12, dtype=np.int32).reshape(3, 4)
+        (out,) = packed_readback([jnp.asarray(a)])
+        np.testing.assert_array_equal(out, a)
