@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.knn import (KNNIndex, _search, _idw, _grid_neighborhood,
-                       _sort_neighbors, _dilated_topk, _dilated_select,
+                       _topk_canonical, _dilated_topk, _dilated_select,
                        _grid_query_margin, _overflow_contaminated)
 from ..ops import morton
 from ..ops.transfer import packed_readback
@@ -59,6 +59,16 @@ OFFSETS = {d: ((DIRECTIONS[d] + 1) // 2).astype(np.int64) for d in (2, 3)}
 def _bucket(n: int, minimum: int = 512) -> int:
     """Round up to a power of two (bounds the number of jit recompiles)."""
     return max(minimum, 1 << int(n - 1).bit_length())
+
+
+def _corner_nodes_f32(coords, level, lo, width, offsets):
+    """f32 corner nodes ``[M, 2^d, d]`` of integer lattice cells, built ON
+    DEVICE (exact while lattice coords stay below 2^23) — the single traced
+    node builder shared by the epoch kernels, ``BatchedValidity.from_cells``
+    and ``_geo_refine_flags``."""
+    h = width / jnp.exp2(level.astype(jnp.float32))
+    return lo + ((coords.astype(jnp.float32)[:, None, :]
+                  + offsets[None, :, :]) * h[:, None, None])
 
 
 @partial(jax.jit, static_argnums=(6,))
@@ -135,6 +145,15 @@ _EPOCH_CHUNK = {2: 16384, 3: 4096}
 _RING_RESCUE = 1024
 _RING_PASSES = 3
 
+# Budget for geometry lookup tables traced into OUTER jitted kernels (the
+# fused epochs, the device loop, BatchedValidity's batch programs).  Arrays
+# referenced inside an outer trace bake into the HLO as constants; at the
+# 5e4-triangle STL guidance scale the tables are ~2 MB (measured fine), but
+# the >=256k-triangle fast-winding structure can reach 100+ MB — geometries
+# above the budget are evaluated EAGERLY (their inner jit passes tables as
+# arguments) and their validity is merged on the host.
+_FUSED_GEO_BYTES = 16 * 2 ** 20
+
 
 class BatchedValidity:
     """Jitted, bucket-padded evaluation of cell validity across geometries.
@@ -158,7 +177,11 @@ class BatchedValidity:
         self._cheap = []
         self._expensive = []
         for g in geometries:
-            if (pre_select and g.type in self._EXPENSIVE_TYPES
+            # huge-table geometries route through the bbox-gated expensive
+            # path REGARDLESS of pre_select: wrapping them in this class's
+            # batch jits would bake their tables into the HLO as constants
+            if ((pre_select and g.type in self._EXPENSIVE_TYPES
+                    or g.device_table_bytes > _FUSED_GEO_BYTES)
                     and g.bounding_box() is not None):
                 self._expensive.append(g)
             else:
@@ -175,8 +198,14 @@ class BatchedValidity:
         else:
             self._cheap_fn = None
 
+        # huge-table geometries are called EAGERLY — their mask_points runs
+        # an inner jit that takes the tables as arguments, so no outer jit
+        # may close over them (constant-baking, see _FUSED_GEO_BYTES)
         self._expensive_fns = [
-            jax.jit(partial(g.check_cells, refine_geometry=refine_geometry))
+            partial(g.check_cells, refine_geometry=refine_geometry)
+            if g.device_table_bytes > _FUSED_GEO_BYTES
+            else jax.jit(partial(g.check_cells,
+                                 refine_geometry=refine_geometry))
             for g in self._expensive]
         self._cells_fn = None  # lazy jit of the (coords, level) entry
 
@@ -215,14 +244,12 @@ class BatchedValidity:
         if self._cells_fn is None:
             cheap = list(self._cheap)
             refine = self._refine_geometry
-            lo32 = jnp.asarray(lo, dtype=jnp.float32)
-            offs32 = jnp.asarray(offsets, dtype=jnp.float32)
-            w32 = jnp.float32(width)
 
-            def fn(c, lev):
-                h32 = w32 / jnp.exp2(lev.astype(jnp.float32))
-                nodes = lo32 + ((c.astype(jnp.float32)[:, None, :]
-                                 + offs32[None, :, :]) * h32[:, None, None])
+            # lo/width/offsets are ARGUMENTS, not closure constants — a
+            # from_cells call with a different lattice than the first call
+            # must not silently evaluate against the stale one
+            def fn(c, lev, lo32, offs32, w32):
+                nodes = _corner_nodes_f32(c, lev, lo32, w32, offs32)
                 flags = [g.check_cells(nodes, refine) for g in cheap]
                 return reduce(operator.or_, flags)
 
@@ -233,7 +260,10 @@ class BatchedValidity:
         lpad = np.zeros(mp, dtype=np.int32)
         lpad[:m] = level
         return np.asarray(self._cells_fn(
-            jnp.asarray(cpad), jnp.asarray(lpad)))[:m]
+            jnp.asarray(cpad), jnp.asarray(lpad),
+            jnp.asarray(lo, dtype=jnp.float32),
+            jnp.asarray(offsets, dtype=jnp.float32),
+            jnp.float32(width)))[:m]
 
     def __call__(self, nodes: np.ndarray) -> np.ndarray:
         """``nodes [M, 2^d, d]`` (host) → bool ``[M]`` (host)."""
@@ -294,6 +324,19 @@ class SamplingTree:
         self._pre_select = pre_select
         self._max_delta_level = max_delta_level
         self._geometry = geometry_obj
+        # geometries whose device tables exceed the fusion budget stay out
+        # of every outer-jitted kernel (their tables would bake into the
+        # HLO as constants — see _FUSED_GEO_BYTES); their validity is
+        # evaluated eagerly and merged host-side after each epoch readback
+        self._fused_geos = [g for g in geometry_obj
+                            if g.device_table_bytes <= _FUSED_GEO_BYTES]
+        self._host_geos = [g for g in geometry_obj
+                           if g.device_table_bytes > _FUSED_GEO_BYTES]
+        if self._host_geos:
+            logger.info(
+                f"{len(self._host_geos)} geometry object(s) exceed the "
+                f"fused-kernel table budget and will be evaluated outside "
+                f"the epoch kernels (host-merged validity).")
         self._min_metric = min_metric
         self._n_cells_max = n_cells
         self._min_level = uniform_level
@@ -516,14 +559,18 @@ class SamplingTree:
         self._metric_arr[idx] = pred[:, 0]
 
     def _epoch_helpers(self):
-        """Shared traced helpers of the fused epoch kernels."""
+        """Shared traced helpers of the fused epoch kernels.
+
+        Only ``self._fused_geos`` are traced here; huge-table geometries'
+        validity is merged host-side in ``_process_new_cells``."""
         d = self._n_dimensions
-        geometries = list(self._geometry)
+        geometries = list(getattr(self, "_fused_geos", self._geometry))
         n_children = 1 + 2 ** d
 
         def geometry_invalid(coords, level, lo, width, offsets):
-            h = width / jnp.exp2(level)
-            nodes = lo + (coords[:, None, :] + offsets[None, :, :]) * h[:, None, None]
+            if not geometries:   # all geometries are host-evaluated
+                return jnp.zeros(coords.shape[0], dtype=jnp.bool_)
+            nodes = _corner_nodes_f32(coords, level, lo, width, offsets)
             flags = [g.check_cells(nodes, False) for g in geometries]
             return reduce(operator.or_, flags)
 
@@ -579,7 +626,11 @@ class SamplingTree:
             scores = points_sq[None, :] - 2.0 * jnp.dot(
                 qflat, points.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-            top_s, top_i = jax.lax.top_k(-scores, k)
+            # +8 slack locally and in the merge so f32 distance ties at the
+            # k-boundary resolve by ascending global index (the canonical
+            # order every single-chip path emits)
+            kk = min(k + 8, scores.shape[1])
+            top_s, top_i = jax.lax.top_k(-scores, kk)
             delta = qflat[:, None, :] - points[top_i]
             sq = jnp.sum(delta * delta, axis=-1)
             # pad rows carry points_sq = +inf; keep them out of the merge
@@ -587,9 +638,8 @@ class SamplingTree:
             gidx = top_i + jax.lax.axis_index(CELL_AXIS) * n_local
             all_sq = jax.lax.all_gather(sq, CELL_AXIS, axis=1, tiled=True)
             all_i = jax.lax.all_gather(gidx, CELL_AXIS, axis=1, tiled=True)
-            neg, sel = jax.lax.top_k(-all_sq, k)
-            return _sort_neighbors(-neg, jnp.take_along_axis(all_i, sel,
-                                                             axis=1))
+            sq, idx, _ = _topk_canonical(all_sq, all_i, k)
+            return sq, idx
 
         knn_sharded = shard_map(
             knn_merge, mesh=self._mesh,
@@ -677,9 +727,11 @@ class SamplingTree:
             g["dil_pts"], g["dil_cand"], g["dil_ovf"], g["dil_vals"],
             g["origin"], g["inv_h"], g["dims"])
         self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
+        # plain VPU delta-sum scoring, 2 FLOPs/MAC (same convention as the
+        # single-chip grid path)
         nnb, C = 3 ** d, g["C"]
         self._epoch_query_cost = (nnb * C * (d + 2) * 4.0 + nnb,
-                                  2.0 * nnb * C * C * d)
+                                  2.0 * nnb * C * d)
 
     def _build_epoch_fn(self):
         """Build the fused epoch kernel(s): metric prediction at own + child
@@ -714,11 +766,11 @@ class SamplingTree:
                                      offsets, pred, bad)
 
         def grid_tail(coords, level, lo, width, gain0, dirs, offsets,
-                      qbad, sq, idx, vals):
-            """Shared finish: canonical (sq, idx) order → bitwise-identical
-            IDW to the full-scan kernel for accepted rows, then the packed
+                      qbad, sq, vals):
+            """Shared finish for kernels whose (sq, vals) already arrive in
+            canonical ascending (sq, idx) order → bitwise-identical IDW to
+            the full-scan kernel for accepted rows, then the packed
             gain/metric/validity output."""
-            sq, _, vals = _sort_neighbors(sq, idx, vals)
             pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
             bad = qbad.reshape(-1, n_children).any(axis=1)
             return geometry_and_gain(coords, level, lo, width, gain0, dirs,
@@ -736,17 +788,15 @@ class SamplingTree:
             cpts = cell_pts[flat]                               # [Q, 3^d, C, d]
             delta = qflat[:, None, None, :] - cpts
             d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
-            top_s, sel = jax.lax.top_k(-d2, k)
-            sq = -top_s
+            sq, idx, sel = _topk_canonical(
+                d2, cell_list[flat].reshape(q, -1), k)
             qbad = ((sq.max(axis=1) > margin_sq)
                     | _overflow_contaminated(qflat, overflow[flat],
                                              sq.max(axis=1), origin, inv_h))
-            idx = jnp.take_along_axis(cell_list[flat].reshape(q, -1), sel,
-                                      axis=1)
             vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,
                                        axis=1)
             return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
-                             qbad, sq, idx, vals)
+                             qbad, sq, vals)
 
         def fn_grid_dil(coords, level, lo, width, gain0, dirs, offsets,
                         shift, dil_pts, dil_cand, dil_ovf, dil_vals,
@@ -771,10 +821,13 @@ class SamplingTree:
             full-scan path."""
             qflat = query_centers(coords, level, lo, width, dirs, shift)
             invalid = geometry_invalid(coords, level, lo, width, offsets)
-            sq, idx, sel, ok, flat = _dilated_topk(
+            # _dilated_topk already emits canonical ascending (sq, idx)
+            # order, and the sel-gathered vals are aligned with it — no
+            # re-sort needed (a redundant wide 2-key sort here cost ~1 ms+
+            # on every main epoch call)
+            sq, _, sel, ok, flat = _dilated_topk(
                 qflat, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims, k)
             vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
-            sq, idx, vals = _sort_neighbors(sq, idx, vals)
             # invalid cells are removed regardless — never rescue their
             # queries (mirrors the host retry policy)
             badq = ~ok & ~jnp.repeat(invalid, n_children)
@@ -797,17 +850,14 @@ class SamplingTree:
                 cpts = cell_pts[rflat]                  # [R, 9^d, C, d]
                 delta = rq[:, None, None, :] - cpts
                 d2 = jnp.sum(delta * delta, axis=-1).reshape(rr, -1)
-                top_s, rsel = jax.lax.top_k(-d2, k)
-                rsq = -top_s
+                rsq, _, rsel = _topk_canonical(
+                    d2, cell_list[rflat].reshape(rr, -1), k)
                 rbad = ((rsq.max(axis=1) > rmargin_sq)
                         | _overflow_contaminated(rq, overflow[rflat],
                                                  rsq.max(axis=1), origin,
                                                  inv_h, radius=4))
-                ridx = jnp.take_along_axis(
-                    cell_list[rflat].reshape(rr, -1), rsel, axis=1)
                 rvals = jnp.take_along_axis(
                     cell_vals[rflat].reshape(rr, -1), rsel, axis=1)
-                rsq, ridx, rvals = _sort_neighbors(rsq, ridx, rvals)
                 m = cand[rows]
                 sq = sq.at[rows].set(jnp.where(m[:, None], rsq, sq[rows]))
                 vals = vals.at[rows].set(jnp.where(m[:, None], rvals,
@@ -849,18 +899,16 @@ class SamplingTree:
                 cpts = cell_pts[flat]                       # [Q, R, C, d]
                 delta = qflat[:, None, None, :] - cpts
                 d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
-                top_s, sel = jax.lax.top_k(-d2, k)
-                sq = -top_s
+                sq, _, sel = _topk_canonical(
+                    d2, cell_list[flat].reshape(q, -1), k)
                 qbad = ((sq.max(axis=1) > margin_sq)
                         | _overflow_contaminated(qflat, overflow[flat],
                                                  sq.max(axis=1), origin,
                                                  inv_h, radius=radius))
-                idx = jnp.take_along_axis(cell_list[flat].reshape(q, -1),
-                                          sel, axis=1)
                 vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1),
                                            sel, axis=1)
                 return grid_tail(coords, level, lo, width, gain0, dirs,
-                                 offsets, qbad, sq, idx, vals)
+                                 offsets, qbad, sq, vals)
             return fn
 
         def fn_full_small(coords, level, lo, width, gain0, dirs, offsets,
@@ -913,12 +961,12 @@ class SamplingTree:
             self._epoch_fn_ring = lambda c, l: jit_ring(c, l, *ring_args)
             nnb, C = 3 ** d, g["C"]
             # per padded query: one dilated/blocked row (pts+cand+vals+ovf)
-            # and the score-stage FLOPs (MXU group-sum matmul on the dilated
-            # path, VPU delta-sums on the blocked path)
-            self._epoch_query_cost = (
-                (nnb * C * (d + 2) * 4.0 + nnb,
-                 2.0 * nnb * C * C * d) if "dil_vals" in g
-                else (nnb * C * (d + 2) * 4.0 + nnb, 2.0 * nnb * C * d))
+            # and the score-stage FLOPs — BOTH grid layouts score by the
+            # plain VPU delta-sum (2 FLOPs/MAC convention, matching the
+            # full-scan path; the earlier MXU group-sum matmul and its
+            # 2·nnb·C·C·d cost are gone since the plain-f32 ranking change)
+            self._epoch_query_cost = (nnb * C * (d + 2) * 4.0 + nnb,
+                                      2.0 * nnb * C * d)
         else:
             self._epoch_fn = self._epoch_fn_full
             self._epoch_query_cost = (knn._points.shape[0] * d * 4.0,
@@ -966,6 +1014,15 @@ class SamplingTree:
         st["n_calls_main"] += len(pending)
         st["t_dispatch_s"] += time() - t_epoch0
 
+        # host-evaluated geometries (tables above the fusion budget): their
+        # validity is computed eagerly here — overlapping the in-flight
+        # epoch dispatches — and OR-ed into the kernel's invalid column
+        hv = None
+        if getattr(self, "_host_geos", None):
+            hv = self._host_geo_validity.from_cells(
+                self._coords[idx], self._level[idx],
+                self._lo, self._width, self._offsets)
+
         t_rb0 = time()
         # pack all chunk outputs into ONE transfer: each per-chunk
         # ``np.asarray`` costs a full tunnel round trip (~36-56 ms healthy),
@@ -973,8 +1030,14 @@ class SamplingTree:
         # dozens) pays in latency what the data costs in microseconds.
         outs = packed_readback([f for _, f in pending])
         retry = []
+        off = 0
         for (part, fut), out_pad in zip(pending, outs):
             out = out_pad[:part.size]
+            if hv is not None:
+                out = out.copy()   # np.asarray of a device buffer can be
+                out[:, 2] = np.maximum(out[:, 2],     # read-only
+                                       hv[off:off + part.size])
+            off += part.size
             # grid path: cells whose k-NN could not be answered exactly from
             # the 3^d neighborhood re-run through the full-scan kernel —
             # EXCEPT cells the geometry check already invalidated (e.g.
@@ -995,6 +1058,17 @@ class SamplingTree:
         # the main kernel only (retries are rare), so the derived
         # throughput is a slight under-estimate — never inflated
         st["wall_s"] += time() - t_epoch0
+
+    @property
+    def _host_geo_validity(self):
+        """Lazy removal-mode validity over the host-evaluated (huge-table)
+        geometries — routed through BatchedValidity's bbox-gated eager
+        path, never an outer jit."""
+        if getattr(self, "_host_geo_validity_obj", None) is None:
+            self._host_geo_validity_obj = BatchedValidity(
+                self._host_geos, refine_geometry=False,
+                pre_select=self._pre_select)
+        return self._host_geo_validity_obj
 
     def _dispatch_epoch(self, part: np.ndarray, fn, minimum: int = 1024):
         """Bucket-pad one cell batch and dispatch an epoch kernel on it.
@@ -1100,14 +1174,8 @@ class SamplingTree:
         key = id(g)
         fn = self._geo_fused_checkers.get(key)
         if fn is None:
-            lo32 = jnp.asarray(self._lo, dtype=jnp.float32)
-            offs32 = jnp.asarray(self._offsets, dtype=jnp.float32)
-            w32 = jnp.float32(self._width)
-
-            def fused(c, lev):
-                h32 = w32 / jnp.exp2(lev.astype(jnp.float32))
-                nodes = lo32 + ((c.astype(jnp.float32)[:, None, :]
-                                 + offs32[None, :, :]) * h32[:, None, None])
+            def fused(c, lev, lo32, offs32, w32):
+                nodes = _corner_nodes_f32(c, lev, lo32, w32, offs32)
                 return jnp.stack([g.check_cells(nodes, False),
                                   g.check_cells(nodes, True)], axis=1)
 
@@ -1118,7 +1186,11 @@ class SamplingTree:
         cpad[:m] = self._coords[idx]
         lpad = np.zeros(mp, dtype=np.int32)
         lpad[:m] = self._level[idx]
-        out = np.asarray(fn(jnp.asarray(cpad), jnp.asarray(lpad)))[:m]
+        out = np.asarray(fn(
+            jnp.asarray(cpad), jnp.asarray(lpad),
+            jnp.asarray(self._lo, dtype=jnp.float32),
+            jnp.asarray(self._offsets, dtype=jnp.float32),
+            jnp.float32(self._width)))[:m]
         return out[:, 0], out[:, 1]
 
     def _captured_metric(self) -> float:
@@ -1344,8 +1416,13 @@ class SamplingTree:
 
     def _adaptive_device_eligible(self) -> bool:
         import os
+        # host-evaluated geometries (tables above _FUSED_GEO_BYTES) cannot
+        # run inside the device loop: their validity is merged on the host
+        # AFTER each epoch readback, which the loop's in-program iterations
+        # never see
         return (not self._max_delta_level and self._mesh is None
                 and self._dil_core is not None
+                and not getattr(self, "_host_geos", ())
                 and not getattr(self, "_device_loop_disabled", False)
                 and os.environ.get("S3_TPU_DEVICE_LOOP", "1") != "0")
 
@@ -1526,8 +1603,16 @@ class SamplingTree:
         # k_max*2^d cells at once, so the per-call worker-safety caps the
         # host path enforces via _EPOCH_CHUNK must hold for k_max itself.
         # A budget ramp that exceeds them disables the device path for the
-        # rest of the run (sticky — the ramp bound only grows).
-        if k_max * n_ch > 2 * _EPOCH_CHUNK[d]:
+        # rest of the run (sticky — the ramp bound only grows).  The 2x
+        # headroom is query-count-bound (the crash threshold is ~295k+
+        # queries, far above); the 3D grid path at C > 32 is instead
+        # MEMORY-bound by the blocked/dilated gather temp — the host path
+        # only doubles its chunk when C <= 32, and the loop mirrors that.
+        safe = 2 * _EPOCH_CHUNK[d]
+        g = getattr(self._knn, "_grid", None)
+        if d == 3 and g is not None and g.get("C", 64) > 32:
+            safe = _EPOCH_CHUNK[d]
+        if k_max * n_ch > safe:
             logger.info("Device adaptive loop disabled: per-iteration "
                         f"budget bound {k_max} exceeds the worker-safe "
                         "epoch size.")
@@ -1820,11 +1905,14 @@ class SamplingTree:
             # as do pre-select expensive geometries (STL / 2D coordinates),
             # whose bbox candidate filter needs host-f64 nodes and matches
             # every other expensive-geometry evaluation in this engine
-            # (``BatchedValidity.from_cells`` falls back the same way).
+            # (``BatchedValidity.from_cells`` falls back the same way), and
+            # huge-table geometries (no outer jit may close over them).
             pre_sel = (self._pre_select
                        and g.type in BatchedValidity._EXPENSIVE_TYPES
                        and g.bounding_box() is not None)
-            fused = self._current_max_level <= 22 and not pre_sel
+            huge = g.device_table_bytes > _FUSED_GEO_BYTES
+            fused = (self._current_max_level <= 22
+                     and not pre_sel and not huge)
 
             if fused:
                 alive = self._alive_idx()

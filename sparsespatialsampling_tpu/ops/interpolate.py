@@ -16,6 +16,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .transfer import packed_readback
+
 
 @partial(jax.jit, donate_argnums=())
 def _interp_chunk(weights, idx, data):
@@ -167,12 +169,15 @@ def interpolate_device(w_dev, idx_dev, data, n, chunk_size: int = None,
                           idx_dev[lo:lo + chunk_size], data)
             for lo in range(0, q_pad, chunk_size)] if q_pad > chunk_size \
         else [_interp_chunk(w_dev, idx_dev, data)]
-    jax.block_until_ready(outs)
+    # ``block_until_ready`` does not reliably sync through the axon tunnel
+    # (timings would misattribute kernel time to the readback) — chain a
+    # scalar data dependency over every chunk and device_get it instead
+    jax.device_get(jnp.stack([o.ravel()[0] for o in outs]).sum())
     t1 = perf_counter()
     out = np.empty((q_pad,) + data.shape[1:], dtype=np.float32)
     lo = 0
-    for o in outs:
-        out[lo:lo + o.shape[0]] = np.asarray(o)
+    for o in packed_readback(outs):   # ONE device→host transfer
+        out[lo:lo + o.shape[0]] = o
         lo += o.shape[0]
     t2 = perf_counter()
     if timings is not None:

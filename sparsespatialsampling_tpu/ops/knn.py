@@ -245,18 +245,27 @@ def _grid_candidates(queries, cell_pts, cell_list, cell_overflow, origin,
     return d2, cand, margin_sq, ovf_nb, flat
 
 
+def _topk_canonical(d2, cand, k):
+    """Top-k with a +8 slack so f32 distance TIES at the k-boundary resolve
+    by ascending global point index — the order the full-scan path emits —
+    instead of by candidate-slot position.  Returns ``(sq, idx, sel)``
+    ``[Q, k]`` in canonical ascending ``(sq, idx)`` order."""
+    kk = min(k + 8, d2.shape[1])
+    top_s, sel = jax.lax.top_k(-d2, kk)
+    idx = jnp.take_along_axis(cand, sel, axis=1)
+    sq, idx, sel = jax.lax.sort((-top_s, idx, sel), dimension=1, num_keys=2)
+    return sq[:, :k], idx[:, :k], sel[:, :k]
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _grid_query_kernel(queries, cell_pts, cell_list, cell_overflow, origin,
                        inv_h, dims, k):
     d2, cand, margin_sq, ovf_nb, _ = _grid_candidates(
         queries, cell_pts, cell_list, cell_overflow, origin, inv_h, dims)
-    top_s, sel = jax.lax.top_k(-d2, k)
-    sq = -top_s
-    idx = jnp.take_along_axis(cand, sel, axis=1)
+    sq, idx, _ = _topk_canonical(d2, cand, k)
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, ovf_nb, sq.max(axis=1),
                                     origin, inv_h))
-    sq, idx = _sort_neighbors(sq, idx)
     return sq, idx, ok
 
 
@@ -265,13 +274,10 @@ def _grid_predict_kernel(queries, cell_pts, cell_vals, cell_list,
                          cell_overflow, origin, inv_h, dims, k):
     d2, cand, margin_sq, ovf_nb, flat = _grid_candidates(
         queries, cell_pts, cell_list, cell_overflow, origin, inv_h, dims)
-    top_s, sel = jax.lax.top_k(-d2, k)
-    sq = -top_s
-    idx = jnp.take_along_axis(cand, sel, axis=1)
+    sq, idx, sel = _topk_canonical(d2, cand, k)
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, ovf_nb, sq.max(axis=1),
                                     origin, inv_h))
-    sq, idx, sel = _sort_neighbors(sq, idx, sel)
     w = _idw(sq)
     # values gathered from the same blocked layout, then selected
     q = queries.shape[0]
@@ -387,13 +393,9 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k):
     g3 = dil_pts[flat].reshape(q, -1, d)                 # [Q, 3^d·C, d]
     dd = queries[:, None, :] - g3
     sq = jnp.sum(dd * dd, axis=-1)                       # [Q, 3^d·C] plain f32
-    kk = min(k + 8, sq.shape[1])
-    nsq, sel = jax.lax.top_k(-sq, kk)                    # [Q, kk]
-    idx = jnp.take_along_axis(dil_cand[flat], sel, axis=1)
     # canonical ascending (sq, idx) order over the widened set, keep k —
     # output is already in `_sort_neighbors` order
-    sq, idx, sel = jax.lax.sort((-nsq, idx, sel), dimension=1, num_keys=2)
-    return sq[:, :k], idx[:, :k], sel[:, :k]
+    return _topk_canonical(sq, dil_cand[flat], k)
 
 
 def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,

@@ -324,6 +324,28 @@ class TestBucketGrid:
         assert pred.shape == (200, 2)
         np.testing.assert_allclose(pred, pred_full, rtol=1e-5, atol=1e-6)
 
+    def test_grid_fullscan_tie_break_bitwise(self, monkeypatch):
+        """Exact f32 distance TIES at the k-boundary (structured lattices,
+        common in CFD meshes) must resolve identically — by ascending global
+        point index — on the grid and full-scan paths, keeping predictions
+        bitwise equal (the +8 tie slack in _topk_canonical)."""
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+        xs = np.arange(64, dtype=np.float64)
+        pts = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+        rng = np.random.default_rng(17)
+        vals = rng.normal(size=pts.shape[0])
+        # queries AT lattice points: 4 equidistant neighbors at distance 1,
+        # 4 at sqrt(2), ... -> the k=8 boundary always lands inside a tie
+        q = pts[rng.choice(pts.shape[0], 128, replace=False)]
+        index = KNNIndex(pts, values=vals)
+        assert index._grid is not None
+        pred_grid = index.predict(q, 8)
+        assert index.last_fallback < q.shape[0], "no query used the grid"
+        pred_full = index._full_scan(
+            np.asarray(q, np.float64) - index._shift, 8, "predict")
+        np.testing.assert_array_equal(np.asarray(pred_grid),
+                                      np.asarray(pred_full))
+
     def test_neighbor_table_device_matches_host(self):
         """The device iota twin of the host neighbor table must agree for
         every (dims, sentinel) combination the grid planner can emit."""
