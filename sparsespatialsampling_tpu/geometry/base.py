@@ -94,6 +94,19 @@ class GeometryObject(ABC):
         """
         return None
 
+    @property
+    def device_table_bytes(self) -> int:
+        """Approximate bytes of device lookup tables a traced
+        :meth:`mask_points` references.  Closed-form geometries carry none;
+        table-backed ones (large STL acceleration structures) report their
+        size so the engine can keep them OUT of outer-jitted kernels —
+        arrays referenced inside an outer trace bake into the compiled
+        program as constants, which at 100+ MB means minutes-long compiles
+        and a poisoned compile cache (see CLAUDE.md).  Such geometries are
+        evaluated eagerly instead (their own inner jit passes the tables as
+        arguments)."""
+        return 0
+
     # ------------------------------------------------------------------ #
     # validation + metadata                                               #
     # ------------------------------------------------------------------ #

@@ -587,6 +587,14 @@ class GeometrySTL3D(GeometryObject):
         # cached jitted callable (rebuilding it per call would re-trace);
         # all arrays are passed as arguments, never closed over
         self._mask_fn = _make_sign_mask_fn(use_fw, self._mask_chunk)
+        # total device-table footprint: a traced mask_points references the
+        # sign grid + exact-winding tables, so an OUTER jit would bake this
+        # many bytes into its HLO as constants — the engine compares it
+        # against its fusion budget (``engine/tree._FUSED_GEO_BYTES``)
+        self._device_table_bytes = int(
+            sum(int(v.nbytes) for v in self._sg.values()
+                if hasattr(v, "nbytes"))
+            + sum(int(a.nbytes) for a in self._exact_args))
 
     def mask_points(self, points):
         chunk = self._mask_chunk
@@ -641,6 +649,10 @@ class GeometrySTL3D(GeometryObject):
                 f"STL surface for geometry {self.name} is not closed/manifold. The "
                 f"winding-number inside-test degrades gracefully, but results near the "
                 f"defects may be inaccurate.")
+
+    @property
+    def device_table_bytes(self) -> int:
+        return self._device_table_bytes
 
     @property
     def type(self) -> str:

@@ -166,6 +166,37 @@ class TestSTL3DEndToEnd:
         assert (s3.levels.squeeze()[near] >= 5).all()
 
 
+    def test_stl_host_merged_route_equivalent(self, cloud_3d, box_stl,
+                                              tmp_path, monkeypatch):
+        """Forcing the STL above the fused-kernel table budget must route
+        its validity through the eager host-merged path (epoch kernels
+        trace only the cheap geometries, device loop disabled, geometry
+        refinement on the host two-call route) and still produce the
+        identical refined grid."""
+        import sparsespatialsampling_tpu.engine.tree as tree_mod
+        path, lo, hi = box_stl
+        xyz, metric = cloud_3d
+        outside = ~np.logical_and(xyz >= lo, xyz <= hi).all(axis=1)
+
+        def run(tag):
+            s3 = SparseSpatialSampling(
+                xyz[outside], metric[outside],
+                [CubeGeometry("domain", True, [0, 0, 0], [1, 1, 0.5]),
+                 GeometrySTL3D("box", False, path, refine=True,
+                               min_refinement_level=5)],
+                save_path=str(tmp_path), save_name=f"hm_{tag}",
+                uniform_levels=2, min_metric=0.5)
+            s3.execute_grid_generation()
+            return s3.centers, s3.levels, s3.faces
+
+        ref = run("fused")
+        monkeypatch.setattr(tree_mod, "_FUSED_GEO_BYTES", 0)
+        alt = run("host")
+        np.testing.assert_array_equal(ref[1], alt[1])
+        np.testing.assert_allclose(ref[0], alt[0])
+        np.testing.assert_array_equal(ref[2], alt[2])
+
+
 class TestExport3D:
     def test_export_vector_field_and_svd(self, cloud_3d, executed_3d):
         xyz, metric = cloud_3d
