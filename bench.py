@@ -24,11 +24,12 @@ Two workloads:
    This workload also runs twice (``c3d_run1/2_s``) with the better run
    broken down — tunnel-health phases can distort any single run.
 
-Timing protocol: the 2D refinement ALWAYS runs twice — the first run pays
-program loads plus the tunnel's first-readback channel init (which can
-stall minutes) — and BOTH raw times are reported (`t_refine_run1/2`); the
-better one feeds the headline (the grids are identical).  The 3D workload
-runs once on the then-warm device and its raw time is reported.
+Timing protocol: EVERY workload runs its full pipeline twice — the first
+run pays remote program loads plus the tunnel's first-readback channel
+init (which can stall minutes); measured steady-state phases are 2-20x
+faster than load-poisoned ones — BOTH raw e2e totals are reported
+(`oat_run1/2_s`, `c3d_run1/2_s`, `stl_run1/2_s`) and the better run is
+broken down (the grids/outputs are identical across runs).
 
 Prints ONE JSON line:
     {"metric": ..., "value": <OAT e2e seconds>, "unit": "s",
@@ -291,33 +292,39 @@ def main():
     tmp = tempfile.mkdtemp()
 
     # -- workload 1: OAT15 2D (headline, directly comparable to 26.93 s) --
-    s3, t_init, t_refine1 = run_refine_oat(xy, metric, poly, tmp, "bench")
-    # ALWAYS run twice: the first run pays program loads and the tunnel's
-    # first-readback channel-init stall (which can exceed 300 s on its own),
-    # so skipping the retry after a slow first run would record exactly the
-    # stall-poisoned number
-    s3b, t_init2, t_refine2 = run_refine_oat(xy, metric, poly, tmp, "bench")
-    t_refine = t_refine1
-    if t_refine2 < t_refine:
-        s3, t_init, t_refine = s3b, t_init2, t_refine2
-
+    # ALWAYS run the FULL pipeline twice (same protocol as c3d below): the
+    # first run pays program loads and the tunnel's first-readback
+    # channel-init stall (which can exceed 300 s on its own) — measured
+    # steady-state weight-cache build is ~0.25 s vs 2-6 s with a fresh
+    # program load — so timing export/SVD only once would record exactly
+    # the load-poisoned number.  Both raw e2e totals are reported and the
+    # better run is broken down (the grids/outputs are identical).
     n_snap = 50
     phases = np.linspace(0, 2 * np.pi, n_snap, endpoint=False)
     snaps = (metric[:, None]
              * (1 + 0.2 * np.sin(phases)[None, :])).astype(np.float32)
     times = [f"{t:.4f}" for t in np.arange(n_snap) * 5e-4]
 
-    t1 = time.perf_counter()
-    exp = ExportData(s3, write_times=times)
-    exp.export(xy, snaps[:, None, :], "Ma", n_snapshots_total=n_snap)
-    t_interp = time.perf_counter() - t1
+    def run_oat_pipeline():
+        s3, t_init, t_refine = run_refine_oat(xy, metric, poly, tmp, "bench")
+        t1 = time.perf_counter()
+        exp = ExportData(s3, write_times=times)
+        exp.export(xy, snaps[:, None, :], "Ma", n_snapshots_total=n_snap)
+        t_interp = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20,
+                                 n_modes=5)
+        t_svd = time.perf_counter() - t2
+        return s3, exp, t_init, t_refine, t_interp, t_svd
 
-    t2 = time.perf_counter()
-    write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20,
-                             n_modes=5)
-    t_svd = time.perf_counter() - t2
+    oat_runs = [run_oat_pipeline() for _ in range(2)]
+    oat_totals = [sum(r[3:6]) for r in oat_runs]
+    oat_refines = [r[3] for r in oat_runs]
+    best_oat = int(np.argmin(oat_totals))
+    s3, exp, t_init, t_refine, t_interp, t_svd = oat_runs[best_oat]
+    t_refine1, t_refine2 = oat_refines
 
-    t_total = t_refine + t_interp + t_svd
+    t_total = oat_totals[best_oat]
     n_cells = int(s3.faces.shape[0])
     captured = float(s3.data_final_mesh["metric_per_iter"][-1])
 
@@ -336,11 +343,12 @@ def main():
                    "+interp(50 snaps)+svd wall"),
         "value": round(t_total, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_REFINE_S / t_refine, 3),
+        "vs_baseline": round(BASELINE_REFINE_S / min(oat_refines), 3),
         "t_warmup_s": round(t_warmup, 3),
+        "oat_run1_s": round(oat_totals[0], 3),
+        "oat_run2_s": round(oat_totals[1], 3),
         "t_refine_run1_s": round(t_refine1, 3),
-        "t_refine_run2_s": (round(t_refine2, 3) if t_refine2 is not None
-                            else None),
+        "t_refine_run2_s": round(t_refine2, 3),
         "t_refine_s": round(t_refine, 3),
         "t_init_s": round(t_init, 3),
         "t_uniform_s": round(s3.data_final_mesh["t_uniform"], 3),
