@@ -136,14 +136,15 @@ def _pack_loop_result(it, fill, maxlev, cpi, cpi_last, ms, ns, alive):
 # 16 GB v5e even with two chunks in flight: 16384·5 in 2D, 4096·9 in 3D.
 _EPOCH_CHUNK = {2: 16384, 3: 4096}
 
-# Max bad queries rescued by the fused in-program radius-4 ring pass per
-# epoch call (measured c3d: ~125 bad CELLS → ~150-400 bad queries per
-# 4096-cell call; STL geometry refinement clusters every cell at the
-# surface hole and overflowed 512).  Overflows fall back to the host retry
-# escalation.  The ring slab is [R, 9^d, C, d] — 1024 rows ≈ 286 MB at
-# C=32 in 3D.
-_RING_RESCUE = 1024
-_RING_PASSES = 3
+# Per-pass budgets of the fused in-program radius-4 ring rescue (measured
+# c3d: ~125 bad CELLS → ~150-400 bad queries per 4096-cell call; STL
+# geometry refinement clusters every cell at the surface hole and once
+# produced >512).  The ring slab is [R, 9^d, C, d] — 1024 rows ≈ 286 MB at
+# C=32 in 3D, ~7-50 ms to gather depending on tunnel-era health — so the
+# FIRST pass is sized for the typical bad count and the wide passes only
+# fire (lax.cond) when it overflows.  Queries beyond all passes fall back
+# to the host retry escalation.
+_RING_SIZES = (256, 1024, 1024)
 
 # Budget for geometry lookup tables traced into OUTER jitted kernels (the
 # fused epochs, the device loop, BatchedValidity's batch programs).  Arrays
@@ -777,7 +778,7 @@ class SamplingTree:
                                      offsets, pred, bad)
 
         def fn_grid(coords, level, lo, width, gain0, dirs, offsets, shift,
-                    cell_pts, cell_vals, cell_list, overflow, origin, inv_h,
+                    cell_pts, values, cell_list, overflow, origin, inv_h,
                     dims):
             qflat = query_centers(coords, level, lo, width, dirs, shift)
             # blocked-layout candidates (contiguous per-cell slabs; the
@@ -793,14 +794,13 @@ class SamplingTree:
             qbad = ((sq.max(axis=1) > margin_sq)
                     | _overflow_contaminated(qflat, overflow[flat],
                                              sq.max(axis=1), origin, inv_h))
-            vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1), sel,
-                                       axis=1)
+            vals = values[idx]        # pointwise: [Q, k] 4-byte lookups
             return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
                              qbad, sq, vals)
 
         def fn_grid_dil(coords, level, lo, width, gain0, dirs, offsets,
-                        shift, dil_pts, dil_cand, dil_ovf, dil_vals,
-                        cell_pts, cell_vals, cell_list, overflow, origin,
+                        shift, dil_pts, dil_cand, dil_ovf, values,
+                        cell_pts, cell_list, overflow, origin,
                         inv_h, dims):
             """Dilated layout: one gather slice per query (~4x the effective
             gather bandwidth of the blocked form on the v5e) — with the
@@ -810,72 +810,72 @@ class SamplingTree:
             queries per iteration fail the 3^d exactness margin; answering
             them in a separate host-driven retry call cost a full tunnel
             round trip per refinement iteration (measured ~85 ms/iter, ~40%
-            of the adaptive wall).  Instead, up to ``_RING_RESCUE`` bad
-            queries are re-answered through the blocked (2·4+1)^d
-            neighborhood inside the same jitted call, behind a ``lax.cond``
-            so iterations with no bad query skip the work.  Both paths emit
-            canonical ascending ``(sq, idx)`` plain-f32 distances, so the
-            merged result is bitwise identical to the host-retry escalation
-            it replaces; queries beyond the rescue budget (or failing the
-            ring margin) still mark their cell ``bad`` for the host
-            full-scan path."""
+            of the adaptive wall).  Instead, bad queries are re-answered
+            through the blocked (2·4+1)^d neighborhood inside the same
+            jitted call in escalating ``_RING_SIZES`` batches, each behind
+            a ``lax.cond`` so it only runs when the previous passes left
+            actionable queries (the first, small pass covers the typical
+            per-iteration count; the wide slabs cost ~4x more to gather).
+            Both paths emit canonical ascending ``(sq, idx)`` plain-f32
+            distances, so the merged result is bitwise identical to the
+            host-retry escalation it replaces; queries beyond the rescue
+            budget (or failing the ring margin) still mark their cell
+            ``bad`` for the host full-scan path."""
             qflat = query_centers(coords, level, lo, width, dirs, shift)
             invalid = geometry_invalid(coords, level, lo, width, offsets)
-            # _dilated_topk already emits canonical ascending (sq, idx)
-            # order, and the sel-gathered vals are aligned with it — no
-            # re-sort needed (a redundant wide 2-key sort here cost ~1 ms+
-            # on every main epoch call)
-            sq, _, sel, ok, flat = _dilated_topk(
-                qflat, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims, k)
-            vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
+            # _dilated_topk emits canonical ascending (sq, idx) order via
+            # the sorted-rows layout — no slack widening or re-sort
+            sq, idx, _, ok, flat = _dilated_topk(
+                qflat, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims, k,
+                sorted_rows=True)
+            vals = values[idx]        # pointwise: [Q, k] 4-byte lookups
             # invalid cells are removed regardless — never rescue their
             # queries (mirrors the host retry policy)
             badq = ~ok & ~jnp.repeat(invalid, n_children)
             nq = badq.shape[0]
-            rr = min(_RING_RESCUE, nq)
 
-            def do_ring(op):
-                sq, vals, badq, eligible = op
-                # deterministic pick of up to _RING_RESCUE not-yet-attempted
-                # bad queries (ascending query index): candidate rows score
-                # in (1, 2], others in (-1, 1], both strictly decreasing in
-                # index
-                cand = badq & eligible
-                score = (cand.astype(jnp.float32) * 2.0
-                         - jnp.arange(nq, dtype=jnp.float32) / nq)
-                _, rows = jax.lax.top_k(score, rr)
-                rq = qflat[rows]
-                rflat, rmargin_sq = _grid_neighborhood(
-                    rq, cell_list.shape[0], origin, inv_h, dims, radius=4)
-                cpts = cell_pts[rflat]                  # [R, 9^d, C, d]
-                delta = rq[:, None, None, :] - cpts
-                d2 = jnp.sum(delta * delta, axis=-1).reshape(rr, -1)
-                rsq, _, rsel = _topk_canonical(
-                    d2, cell_list[rflat].reshape(rr, -1), k)
-                rbad = ((rsq.max(axis=1) > rmargin_sq)
-                        | _overflow_contaminated(rq, overflow[rflat],
-                                                 rsq.max(axis=1), origin,
-                                                 inv_h, radius=4))
-                rvals = jnp.take_along_axis(
-                    cell_vals[rflat].reshape(rr, -1), rsel, axis=1)
-                m = cand[rows]
-                sq = sq.at[rows].set(jnp.where(m[:, None], rsq, sq[rows]))
-                vals = vals.at[rows].set(jnp.where(m[:, None], rvals,
-                                                   vals[rows]))
-                badq = badq.at[rows].set(m & rbad)
-                # attempted rows never re-enter later passes (a repeat
-                # attempt at the same radius would fail identically)
-                eligible = eligible.at[rows].set(eligible[rows] & ~m)
-                return sq, vals, badq, eligible
+            def make_ring(rr):
+                def do_ring(op):
+                    sq, vals, badq, eligible = op
+                    # deterministic pick of up to rr not-yet-attempted bad
+                    # queries (ascending query index): candidate rows score
+                    # in (1, 2], others in (-1, 1], both strictly
+                    # decreasing in index
+                    cand = badq & eligible
+                    score = (cand.astype(jnp.float32) * 2.0
+                             - jnp.arange(nq, dtype=jnp.float32) / nq)
+                    _, rows = jax.lax.top_k(score, rr)
+                    rq = qflat[rows]
+                    rflat, rmargin_sq = _grid_neighborhood(
+                        rq, cell_list.shape[0], origin, inv_h, dims,
+                        radius=4)
+                    cpts = cell_pts[rflat]                  # [R, 9^d, C, d]
+                    delta = rq[:, None, None, :] - cpts
+                    d2 = jnp.sum(delta * delta, axis=-1).reshape(rr, -1)
+                    rsq, ridx, _ = _topk_canonical(
+                        d2, cell_list[rflat].reshape(rr, -1), k)
+                    rbad = ((rsq.max(axis=1) > rmargin_sq)
+                            | _overflow_contaminated(rq, overflow[rflat],
+                                                     rsq.max(axis=1),
+                                                     origin, inv_h,
+                                                     radius=4))
+                    rvals = values[ridx]
+                    m = cand[rows]
+                    sq = sq.at[rows].set(
+                        jnp.where(m[:, None], rsq, sq[rows]))
+                    vals = vals.at[rows].set(jnp.where(m[:, None], rvals,
+                                                       vals[rows]))
+                    badq = badq.at[rows].set(m & rbad)
+                    # attempted rows never re-enter later passes (a repeat
+                    # attempt at the same radius would fail identically)
+                    eligible = eligible.at[rows].set(eligible[rows] & ~m)
+                    return sq, vals, badq, eligible
+                return do_ring
 
-            # up to _RING_PASSES sequential rescue passes, each handling a
-            # fresh batch of _RING_RESCUE bad queries (geometry refinement
-            # clusters every cell at the surface and can produce thousands
-            # of bad queries in one epoch call); each pass skips entirely
-            # when nothing actionable remains
             op = (sq, vals, badq, jnp.ones_like(badq))
-            for _ in range(_RING_PASSES):
-                op = jax.lax.cond((op[2] & op[3]).any(), do_ring,
+            for size in _RING_SIZES:
+                op = jax.lax.cond((op[2] & op[3]).any(),
+                                  make_ring(min(size, nq)),
                                   lambda op: op, op)
             sq, vals, badq, _ = op
             pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
@@ -889,7 +889,7 @@ class SamplingTree:
             on these workloads, so the 500k-point full scan essentially
             never fires."""
             def fn(coords, level, lo, width, gain0, dirs, offsets,
-                   shift, cell_pts, cell_vals, cell_list, overflow,
+                   shift, cell_pts, values, cell_list, overflow,
                    origin, inv_h, dims):
                 qflat = query_centers(coords, level, lo, width, dirs, shift)
                 flat, margin_sq = _grid_neighborhood(
@@ -899,14 +899,13 @@ class SamplingTree:
                 cpts = cell_pts[flat]                       # [Q, R, C, d]
                 delta = qflat[:, None, None, :] - cpts
                 d2 = jnp.sum(delta * delta, axis=-1).reshape(q, -1)
-                sq, _, sel = _topk_canonical(
+                sq, idx, sel = _topk_canonical(
                     d2, cell_list[flat].reshape(q, -1), k)
                 qbad = ((sq.max(axis=1) > margin_sq)
                         | _overflow_contaminated(qflat, overflow[flat],
                                                  sq.max(axis=1), origin,
                                                  inv_h, radius=radius))
-                vals = jnp.take_along_axis(cell_vals[flat].reshape(q, -1),
-                                           sel, axis=1)
+                vals = values[idx]
                 return grid_tail(coords, level, lo, width, gain0, dirs,
                                  offsets, qbad, sq, vals)
             return fn
@@ -938,11 +937,11 @@ class SamplingTree:
             g = knn._grid
             # engine values (the metric) are scalar; guard anyway in case a
             # caller re-attached multichannel values to the shared index
-            if "dil_vals" in g and g.get("dil_vals_nch", 1) == 1:
+            if "dil_pts" in g and knn._values.ndim == 1:
                 jit_grid = jax.jit(fn_grid_dil)
                 grid_args = common + (g["dil_pts"], g["dil_cand"],
-                                      g["dil_ovf"], g["dil_vals"],
-                                      g["cell_pts"], g["cell_vals"],
+                                      g["dil_ovf"], knn._values,
+                                      g["cell_pts"],
                                       g["cell_list"], g["overflow"],
                                       g["origin"], g["inv_h"], g["dims"])
                 # traced core + args for the device-resident adaptive loop
@@ -950,22 +949,22 @@ class SamplingTree:
                 self._dil_core_args = grid_args
             else:
                 jit_grid = jax.jit(fn_grid)
-                grid_args = common + (g["cell_pts"], g["cell_vals"],
+                grid_args = common + (g["cell_pts"], knn._values,
                                       g["cell_list"], g["overflow"],
                                       g["origin"], g["inv_h"], g["dims"])
             self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
             jit_ring = jax.jit(fn_grid_ring(4))
-            ring_args = common + (g["cell_pts"], g["cell_vals"],
+            ring_args = common + (g["cell_pts"], knn._values,
                                   g["cell_list"], g["overflow"], g["origin"],
                                   g["inv_h"], g["dims"])
             self._epoch_fn_ring = lambda c, l: jit_ring(c, l, *ring_args)
             nnb, C = 3 ** d, g["C"]
-            # per padded query: one dilated/blocked row (pts+cand+vals+ovf)
-            # and the score-stage FLOPs — BOTH grid layouts score by the
-            # plain VPU delta-sum (2 FLOPs/MAC convention, matching the
-            # full-scan path; the earlier MXU group-sum matmul and its
-            # 2·nnb·C·C·d cost are gone since the plain-f32 ranking change)
-            self._epoch_query_cost = (nnb * C * (d + 2) * 4.0 + nnb,
+            # per padded query: one dilated/blocked coordinate row, the
+            # pointwise [k] candidate-id + value lookups, the per-neighbor
+            # overflow flags, and the score-stage FLOPs — BOTH grid layouts
+            # score by the plain VPU delta-sum (2 FLOPs/MAC convention,
+            # matching the full-scan path)
+            self._epoch_query_cost = (nnb * C * d * 4.0 + 8.0 * k + nnb,
                                       2.0 * nnb * C * d)
         else:
             self._epoch_fn = self._epoch_fn_full

@@ -347,6 +347,23 @@ def _dilate(arr, nb):
     return arr[nb].reshape(nb.shape[0], -1)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _sort_dilated(dil_pts, dil_cand, d):
+    """Sort every dilated row's candidates ascending by global (sorted-
+    position) point index — pad slots (index = n_points) land last.
+    ``lax.top_k`` is stable (equal values keep ascending position), so the
+    query kernels then resolve f32 distance ties at the k-boundary by
+    ascending index — the canonical order every kNN path emits — with ONE
+    plain ``top_k(k)``: no +8 slack widening and no [Q, k] 2-key re-sort
+    per call (one-time ~100 ms build vs ~10 ms per epoch call saved)."""
+    perm = jnp.argsort(dil_cand, axis=1)
+    n = dil_cand.shape[0]
+    pts3 = jnp.take_along_axis(dil_pts.reshape(n, -1, d),
+                               perm[:, :, None], axis=1)
+    return (pts3.reshape(n, -1),
+            jnp.take_along_axis(dil_cand, perm, axis=1))
+
+
 @jax.jit
 def _dilate_flags(flags, nb):
     """Per-neighbor flags ``[n, 3^d]`` (NOT reduced — the precise overflow
@@ -371,7 +388,8 @@ def _grid_query_margin(queries, origin, inv_h, dims, n_sentinel):
     return jnp.where(inside, flat, n_sentinel), margin_sq
 
 
-def _dilated_select(queries, dil_pts, dil_cand, flat, k):
+def _dilated_select(queries, dil_pts, dil_cand, flat, k,
+                    sorted_rows: bool = False):
     """Candidate scoring + canonical top-k on the dilated rows ``flat``
     (the core of :func:`_dilated_topk`, reusable with externally computed —
     e.g. shard-local — row ids).  Returns ``(sq [Q, k], idx [Q, k],
@@ -386,20 +404,33 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k):
     plain [Q, 3^d·C, d] reduce costs ~3 ms more than the matmul per 36.8k
     queries but eliminates the ~17 ms re-rank tail — the pointwise
     selected-point gather plus wide 2-key sort — for a net ~16 ms/call
-    win.)  Top-k still carries a +8 slack so k-boundary ties resolve by
-    global point index, exactly like the full-scan path's (sq, idx) order."""
+    win.)
+
+    With ``sorted_rows=True`` (single-chip layout, rows pre-sorted by
+    candidate index in :func:`_sort_dilated`) ``lax.top_k``'s documented
+    stability — equal values keep ascending position — makes slot order
+    EQUAL ascending-candidate-index order, so the canonical k-boundary tie
+    resolution falls out of one plain ``top_k(k)``: no +8 slack, no 2-key
+    re-sort, and the candidate ids are gathered POINTWISE for the k
+    selected slots only ([Q, k] int32) instead of the whole [Q, 3^d·C]
+    row (~5 ms/36.8k queries each, measured).  Unsorted (sharded,
+    host-sliced) layouts keep the slack + 2-key sort route."""
     q = queries.shape[0]
     d = queries.shape[1]
     g3 = dil_pts[flat].reshape(q, -1, d)                 # [Q, 3^d·C, d]
     dd = queries[:, None, :] - g3
     sq = jnp.sum(dd * dd, axis=-1)                       # [Q, 3^d·C] plain f32
+    if sorted_rows:
+        top_s, sel = jax.lax.top_k(-sq, k)
+        idx = dil_cand[flat[:, None], sel]               # [Q, k] pointwise
+        return -top_s, idx, sel
     # canonical ascending (sq, idx) order over the widened set, keep k —
     # output is already in `_sort_neighbors` order
     return _topk_canonical(sq, dil_cand[flat], k)
 
 
 def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
-                  k):
+                  k, sorted_rows: bool = False):
     """Candidate search on the dilated layout: ONE gather slice per query,
     plain f32 squared distances, then top-k.
 
@@ -407,7 +438,8 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
     canonical ascending ``(sq, idx)`` order."""
     flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
                                          dil_pts.shape[0] - 1)
-    sq, idx, sel = _dilated_select(queries, dil_pts, dil_cand, flat, k)
+    sq, idx, sel = _dilated_select(queries, dil_pts, dil_cand, flat, k,
+                                   sorted_rows=sorted_rows)
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, dil_ovf[flat], sq.max(axis=1),
                                     origin, inv_h))
@@ -418,35 +450,32 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
 def _grid_query_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, origin,
                            inv_h, dims, k):
     sq, idx, _, ok, _ = _dilated_topk(queries, dil_pts, dil_cand, dil_ovf,
-                                      origin, inv_h, dims, k)
+                                      origin, inv_h, dims, k,
+                                      sorted_rows=True)
     return sq, idx, ok
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _grid_predict_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, dil_vals,
+def _grid_predict_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, values,
                              origin, inv_h, dims, k):
+    """IDW prediction on the dilated layout.  Neighbor values are gathered
+    POINTWISE from the (Morton-sorted) value array at the k selected global
+    indices — [Q, k] 4·n_ch-byte lookups (~4 MB) instead of the [Q, 3^d·C]
+    neighborhood-value rows (~127 MB, ~5 ms per 36.8k queries), which also
+    retires the 3^d-dilated value copy (``dil_vals``, ~170 MB HBM at the
+    500k-point bench grid) and makes multi-channel values ride the same
+    kernel.  Pad candidates (idx = n_points, clamped by XLA's OOB-gather
+    rule) only appear in rows whose margin check already failed — those
+    rows are re-answered exactly elsewhere."""
     sq, idx, sel, ok, flat = _dilated_topk(queries, dil_pts, dil_cand,
-                                           dil_ovf, origin, inv_h, dims, k)
+                                           dil_ovf, origin, inv_h, dims, k,
+                                           sorted_rows=True)
     w = _idw(sq)
-    vals = jnp.take_along_axis(dil_vals[flat], sel, axis=1)
-    pred = jnp.einsum("qk,qk->q", w, vals)
-    return pred, ok
-
-
-@partial(jax.jit, static_argnames=("k", "n_ch"))
-def _grid_predict_kernel_dil_vec(queries, dil_pts, dil_cand, dil_ovf,
-                                 dil_vals, origin, inv_h, dims, k,
-                                 n_ch):
-    """Multi-channel variant: ``dil_vals [n_cells+1, 3^d·C·n_ch]`` holds the
-    channel-flattened neighborhood values; one gather slice per query, then
-    a ``qk,qkc->qc`` contraction."""
-    sq, idx, sel, ok, flat = _dilated_topk(queries, dil_pts, dil_cand,
-                                           dil_ovf, origin, inv_h, dims, k)
-    w = _idw(sq)
-    q = queries.shape[0]
-    vals_blk = dil_vals[flat].reshape(q, -1, n_ch)        # [Q, 3^d·C, n_ch]
-    vals = jnp.take_along_axis(vals_blk, sel[..., None], axis=1)
-    pred = jnp.einsum("qk,qkc->qc", w, vals)
+    vals = values[idx]                                    # [Q, k] or [Q, k, C]
+    if vals.ndim == 3:
+        pred = jnp.einsum("qk,qkc->qc", w, vals)
+    else:
+        pred = jnp.einsum("qk,qk->q", w, vals)
     return pred, ok
 
 
@@ -750,9 +779,14 @@ class KNNIndex:
                 tuple(int(x) for x in plan["dims"]), n_cells, d)
             self._grid["_nb"] = nb_dev
             g = self._grid
-            self._grid["dil_pts"] = _dilate(
-                g["cell_pts"].reshape(n_cells + 1, C * d), nb_dev)
-            self._grid["dil_cand"] = _dilate(g["cell_list"], nb_dev)
+            # rows sorted ascending by candidate index: canonical k-boundary
+            # tie-breaks then fall out of lax.top_k's stability (see
+            # _sort_dilated / _dilated_select)
+            dil_pts = _dilate(g["cell_pts"].reshape(n_cells + 1, C * d),
+                              nb_dev)
+            dil_cand = _dilate(g["cell_list"], nb_dev)
+            self._grid["dil_pts"], self._grid["dil_cand"] = _sort_dilated(
+                dil_pts, dil_cand, d)
             self._grid["dil_ovf"] = _dilate_flags(g["overflow"], nb_dev)
 
     def _morton_codes(self, pts: np.ndarray) -> np.ndarray:
@@ -774,29 +808,17 @@ class KNNIndex:
         self._values = jnp.asarray(sorted_vals)  # device copy in sorted order
         self._values_host = values
         if self._grid is not None:
-            # drop any stale dilated values first: re-attaching multichannel
-            # values after scalar ones must not leave a scalar dil_vals that
-            # _grid_run would silently prefer
-            self._grid.pop("dil_vals", None)
-            self._grid.pop("dil_vals_nch", None)
             # blocked member values matching cell_pts (pad slots = 0; their
             # distances are +inf so they never rank into the top-k) —
             # assembled on device from the already-uploaded sorted values
-            # and the device fill triplet: zero extra link traffic
+            # and the device fill triplet: zero extra link traffic.  The
+            # kernels gather selected values POINTWISE from ``_values``
+            # nowadays; the blocked copy only serves the no-dilated-layout
+            # predict fallback.
             cells, pos, order = self._grid_fill
             n_rows, C = self._grid["cell_list"].shape
             self._grid["cell_vals"] = _cell_vals_device(
                 cells, pos, order, self._values, n_rows, C)
-            if "_nb" in self._grid:
-                n_ch = 1 if values.ndim == 1 else values.shape[1]
-                flat_vals = (self._grid["cell_vals"] if values.ndim == 1
-                             else self._grid["cell_vals"].reshape(
-                                 n_rows, -1))
-                # the dilated copy is 3^d x the blocked one — gate by size
-                if flat_vals.size * (3 ** self.n_dim) * 4 <= 1.5e9:
-                    self._grid["dil_vals"] = _dilate(flat_vals,
-                                                     self._grid["_nb"])
-                    self._grid["dil_vals_nch"] = n_ch
 
     def _run_chunked(self, kernel_args_fn, queries):
         """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows.
@@ -884,15 +906,12 @@ class KNNIndex:
             qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
             qarr[:n] = chunk
             if mode == "predict":
-                if "dil_vals" in g and g.get("dil_vals_nch", 1) > 1:
-                    fut = _grid_predict_kernel_dil_vec(
-                        jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
-                        g["dil_ovf"], g["dil_vals"], g["origin"],
-                        g["inv_h"], g["dims"], k, g["dil_vals_nch"])
-                elif "dil_vals" in g:
+                if "dil_pts" in g:
+                    # scalar and multi-channel values ride the same kernel
+                    # (pointwise value gather at the selected indices)
                     fut = _grid_predict_kernel_dil(
                         jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
-                        g["dil_ovf"], g["dil_vals"], g["origin"],
+                        g["dil_ovf"], self._values, g["origin"],
                         g["inv_h"], g["dims"], k)
                 else:
                     fut = _grid_predict_kernel(

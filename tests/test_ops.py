@@ -290,7 +290,8 @@ class TestBucketGrid:
 
     def test_grid_predict_vector_matches_fullscan(self, monkeypatch):
         """Multi-channel values must route through the dilated grid path and
-        agree with the exact full scan (the vector dil_vals layout)."""
+        agree with the exact full scan (pointwise value gathers make the
+        scalar and multi-channel cases share one kernel)."""
         monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
         rng = np.random.default_rng(15)
         pts = rng.uniform(size=(30_000, 3))
@@ -299,7 +300,7 @@ class TestBucketGrid:
         q = rng.uniform(size=(500, 3))
         grid_index = KNNIndex(pts, values=vals)
         assert grid_index._grid is not None
-        assert grid_index._grid.get("dil_vals_nch") == 3
+        assert "dil_pts" in grid_index._grid
         pred_grid = grid_index.predict(q, 26)
         pred_full = grid_index._full_scan(
             np.asarray(q, np.float64) - grid_index._shift, 26, "predict")
@@ -307,8 +308,8 @@ class TestBucketGrid:
         np.testing.assert_allclose(pred_grid, pred_full, rtol=1e-5, atol=1e-6)
 
     def test_grid_predict_vector_after_scalar(self, monkeypatch):
-        """Re-attaching multichannel values after scalar ones must not leave
-        a stale scalar dil_vals behind (the silent-broadcast trap)."""
+        """Re-attaching multichannel values after scalar ones must produce
+        correct vector predictions (once a stale-scalar-layout trap)."""
         monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
         rng = np.random.default_rng(16)
         pts = rng.uniform(size=(8_000, 2))
@@ -317,7 +318,6 @@ class TestBucketGrid:
         index.predict(q, 8)
         vec = np.stack([pts[:, 0], pts[:, 1] * 2], axis=1)
         index.set_values(vec)
-        assert index._grid.get("dil_vals_nch", 1) == 2
         pred = index.predict(q, 8)
         pred_full = index._full_scan(
             np.asarray(q, np.float64) - index._shift, 8, "predict")
