@@ -5,7 +5,7 @@ Variants (each a fresh tree on the same workload):
   stub     — the fused epoch core replaced by a constant-output stub of the
              same signature: per-iteration wall = loop skeleton (top-k,
              scatters, while overhead, state wire time amortized).
-  noring   — ``_RING_SIZES = ()``: core without the fused rescue passes
+  noring   — ``_RING_PLAN = ()``: core without the fused rescue passes
              (bad cells exit to the host escalation instead).
 
 Usage: python profile_skeleton.py [--c3d]
@@ -92,12 +92,12 @@ def main():
     t2._build_epoch_fn = patched_build
     run(t2, "stub")
 
-    old_sizes = tree_mod._RING_SIZES
-    tree_mod._RING_SIZES = ()
+    old_sizes = tree_mod._RING_PLAN
+    tree_mod._RING_PLAN = ()
     try:
         run(build_tree(c3d, tmp), "noring")
     finally:
-        tree_mod._RING_SIZES = old_sizes
+        tree_mod._RING_PLAN = old_sizes
 
 
 if __name__ == "__main__":

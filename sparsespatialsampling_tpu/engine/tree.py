@@ -136,15 +136,22 @@ def _pack_loop_result(it, fill, maxlev, cpi, cpi_last, ms, ns, alive):
 # 16 GB v5e even with two chunks in flight: 16384·5 in 2D, 4096·9 in 3D.
 _EPOCH_CHUNK = {2: 16384, 3: 4096}
 
-# Per-pass budgets of the fused in-program radius-4 ring rescue (measured
-# c3d: ~125 bad CELLS → ~150-400 bad queries per 4096-cell call; STL
-# geometry refinement clusters every cell at the surface hole and once
-# produced >512).  The ring slab is [R, 9^d, C, d] — 1024 rows ≈ 286 MB at
-# C=32 in 3D, ~7-50 ms to gather depending on tunnel-era health — so the
-# FIRST pass is sized for the typical bad count and the wide passes only
-# fire (lax.cond) when it overflows.  Queries beyond all passes fall back
-# to the host retry escalation.
-_RING_SIZES = (256, 1024, 1024)
+# Per-pass (rows, radius) plan of the fused in-program ring rescue
+# (measured c3d: ~125 bad CELLS → ~150-400 bad queries per 4096-cell call;
+# STL geometry refinement clusters every cell at the surface hole and once
+# produced >512).  The ring slab is [R, (2r+1)^d, C, d] — at C=32 in 3D a
+# radius-2 row is 48 KB and a radius-4 row 280 KB.  Passes sized at the
+# typical bad count plus a cheap escalation beat one wide pass: the
+# (256, 1024, 1024) radius-4-only plan this replaces measured 113 ms/iter
+# warm on the c3d device loop because a handful of stragglers fired a
+# 286 MB pass almost every iteration; (256,4),(512,4) measured 83-93 ms
+# on identical trees.  A radius-2 FIRST pass was measured WORSE
+# (96-137 ms: hole-adjacent queries mostly need the radius-4 margin
+# anyway, so the cheap pass resolves little and its gather+top-k is pure
+# overhead) — the per-radius ``attempted`` plumbing stays because a plan
+# may still want mixed radii on other workloads.  Queries beyond all
+# passes fall back to the host retry escalation.
+_RING_PLAN = ((256, 4), (512, 4))
 
 # Budget for geometry lookup tables traced into OUTER jitted kernels (the
 # fused epochs, the device loop, BatchedValidity's batch programs).  Arrays
@@ -804,7 +811,7 @@ class SamplingTree:
                         inv_h, dims):
             """Dilated layout: one gather slice per query (~4x the effective
             gather bandwidth of the blocked form on the v5e) — with the
-            radius-4 ring retry FUSED into the same program.
+            escalating-radius ring retry FUSED into the same program.
 
             Near point-cloud holes (obstacle interiors, domain walls) a few
             queries per iteration fail the 3^d exactness margin; answering
@@ -812,7 +819,8 @@ class SamplingTree:
             round trip per refinement iteration (measured ~85 ms/iter, ~40%
             of the adaptive wall).  Instead, bad queries are re-answered
             through the blocked (2·4+1)^d neighborhood inside the same
-            jitted call in escalating ``_RING_SIZES`` batches, each behind
+            jitted call in escalating ``_RING_PLAN`` (rows, radius)
+            passes, each behind
             a ``lax.cond`` so it only runs when the previous passes left
             actionable queries (the first, small pass covers the typical
             per-iteration count; the wide slabs cost ~4x more to gather).
@@ -834,22 +842,22 @@ class SamplingTree:
             badq = ~ok & ~jnp.repeat(invalid, n_children)
             nq = badq.shape[0]
 
-            def make_ring(rr):
+            def make_ring(rr, radius):
                 def do_ring(op):
-                    sq, vals, badq, eligible = op
-                    # deterministic pick of up to rr not-yet-attempted bad
-                    # queries (ascending query index): candidate rows score
-                    # in (1, 2], others in (-1, 1], both strictly
-                    # decreasing in index
-                    cand = badq & eligible
+                    sq, vals, badq, attempted = op
+                    # deterministic pick of up to rr bad queries not yet
+                    # attempted at >= this radius (ascending query index):
+                    # candidate rows score in (1, 2], others in (-1, 1],
+                    # both strictly decreasing in index
+                    cand = badq & (attempted < radius)
                     score = (cand.astype(jnp.float32) * 2.0
                              - jnp.arange(nq, dtype=jnp.float32) / nq)
                     _, rows = jax.lax.top_k(score, rr)
                     rq = qflat[rows]
                     rflat, rmargin_sq = _grid_neighborhood(
                         rq, cell_list.shape[0], origin, inv_h, dims,
-                        radius=4)
-                    cpts = cell_pts[rflat]                  # [R, 9^d, C, d]
+                        radius=radius)
+                    cpts = cell_pts[rflat]            # [R, (2r+1)^d, C, d]
                     delta = rq[:, None, None, :] - cpts
                     d2 = jnp.sum(delta * delta, axis=-1).reshape(rr, -1)
                     rsq, ridx, _ = _topk_canonical(
@@ -858,7 +866,7 @@ class SamplingTree:
                             | _overflow_contaminated(rq, overflow[rflat],
                                                      rsq.max(axis=1),
                                                      origin, inv_h,
-                                                     radius=4))
+                                                     radius=radius))
                     rvals = values[ridx]
                     m = cand[rows]
                     sq = sq.at[rows].set(
@@ -866,16 +874,19 @@ class SamplingTree:
                     vals = vals.at[rows].set(jnp.where(m[:, None], rvals,
                                                        vals[rows]))
                     badq = badq.at[rows].set(m & rbad)
-                    # attempted rows never re-enter later passes (a repeat
-                    # attempt at the same radius would fail identically)
-                    eligible = eligible.at[rows].set(eligible[rows] & ~m)
-                    return sq, vals, badq, eligible
+                    # attempted rows never re-enter passes at <= this
+                    # radius (a repeat attempt at the same radius would
+                    # fail identically); a WIDER later pass still takes
+                    # them
+                    attempted = attempted.at[rows].set(
+                        jnp.where(m, radius, attempted[rows]))
+                    return sq, vals, badq, attempted
                 return do_ring
 
-            op = (sq, vals, badq, jnp.ones_like(badq))
-            for size in _RING_SIZES:
-                op = jax.lax.cond((op[2] & op[3]).any(),
-                                  make_ring(min(size, nq)),
+            op = (sq, vals, badq, jnp.zeros(nq, dtype=jnp.int32))
+            for rr, radius in _RING_PLAN:
+                op = jax.lax.cond((op[2] & (op[3] < radius)).any(),
+                                  make_ring(min(rr, nq), radius),
                                   lambda op: op, op)
             sq, vals, badq, _ = op
             pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
@@ -1522,68 +1533,79 @@ class SamplingTree:
                          | (jnp.where(pvalid, plevel, 0).max() + 1
                             > lev_cap))
 
-                def no_iter(s2):
-                    out = dict(s2)
-                    out["flag"] = jnp.bool_(True)
-                    return out
+                # The iteration runs STRAIGHT-LINE with the guard applied by
+                # predication: every scatter redirects to the sentinel row
+                # ``cap`` and every scalar keeps its old value when the
+                # guard fires, so the state is unchanged except ``flag``
+                # (the host then takes over, exactly as before).  The
+                # ``lax.cond(guard, no_iter, do_iter, s)`` this replaces
+                # copied the full cap-sized state through the branch
+                # boundary and blocked XLA from pipelining the epoch's
+                # dilated-table gathers across iterations — measured 121 vs
+                # 76 ms/iter on the c3d core at identical shapes.  Cost of
+                # predication: one discarded core evaluation on the single
+                # guard-exit iteration of a window (rare), instead of a
+                # ~45 ms/iter tax on every iteration.
+                coords, level = s["coords"], s["level"]
+                alive, gain = s["alive"], s["gain"]
+                metric, bad = s["metric"], s["bad"]
+                pvalid = pvalid & ~guard
+                alive = alive.at[jnp.where(guard, cap, parents)].set(False)
+                j = jnp.cumsum(pvalid.astype(jnp.int32)) - 1
+                rows = jnp.where(
+                    pvalid[:, None],
+                    s["fill"] + j[:, None] * n_ch
+                    + jnp.arange(n_ch)[None, :], cap)          # [k_max, 2^d]
+                ccoords = (coords[parents][:, None, :] * 2
+                           + offsets_i[None, :, :])            # [k_max, 2^d, d]
+                clevel = plevel + 1
+                rows_f = rows.reshape(-1)
+                coords = coords.at[rows_f].set(ccoords.reshape(-1, d))
+                level = level.at[rows_f].set(jnp.repeat(clevel, n_ch))
+                n_new = pvalid.sum() * n_ch
 
-                def do_iter(s2):
-                    coords, level = s2["coords"], s2["level"]
-                    alive, gain = s2["alive"], s2["gain"]
-                    metric, bad = s2["metric"], s2["bad"]
-                    alive = alive.at[parents].set(False)
-                    j = jnp.cumsum(pvalid.astype(jnp.int32)) - 1
-                    rows = jnp.where(
-                        pvalid[:, None],
-                        s2["fill"] + j[:, None] * n_ch
-                        + jnp.arange(n_ch)[None, :], cap)      # [k_max, 2^d]
-                    ccoords = (coords[parents][:, None, :] * 2
-                               + offsets_i[None, :, :])        # [k_max, 2^d, d]
-                    clevel = plevel + 1
-                    rows_f = rows.reshape(-1)
-                    coords = coords.at[rows_f].set(
-                        ccoords.reshape(-1, d))
-                    level = level.at[rows_f].set(
-                        jnp.repeat(clevel, n_ch))
-                    n_new = pvalid.sum() * n_ch
+                out = core(ccoords.reshape(-1, d).astype(jnp.float32),
+                           jnp.repeat(clevel, n_ch).astype(jnp.float32),
+                           *epoch_args)                        # [k_max·2^d, 4]
+                slot = jnp.repeat(pvalid, n_ch)
+                ginv = out[:, 2] > 0.5
+                galive = slot & ~ginv
+                gbad = (out[:, 3] > 0.5) & galive
+                alive = alive.at[rows_f].set(galive)
+                gain = gain.at[rows_f].set(jnp.where(ginv, 0.0, out[:, 0]))
+                metric = metric.at[rows_f].set(out[:, 1])
+                bad = bad.at[rows_f].set(jnp.where(slot, gbad, False))
 
-                    out = core(ccoords.reshape(-1, d).astype(jnp.float32),
-                               jnp.repeat(clevel, n_ch).astype(jnp.float32),
-                               *epoch_args)                    # [k_max·2^d, 4]
-                    slot = jnp.repeat(pvalid, n_ch)
-                    ginv = out[:, 2] > 0.5
-                    galive = slot & ~ginv
-                    gbad = (out[:, 3] > 0.5) & galive
-                    alive = alive.at[rows_f].set(galive)
-                    gain = gain.at[rows_f].set(
-                        jnp.where(ginv, 0.0, out[:, 0]))
-                    metric = metric.at[rows_f].set(out[:, 1])
-                    bad = bad.at[rows_f].set(
-                        jnp.where(slot, gbad, False))
-
-                    n_alive = alive[:cap].sum()
-                    s3 = dict(s2)
-                    s3.update(coords=coords, level=level, alive=alive,
-                              gain=gain, metric=metric, bad=bad,
-                              fill=s2["fill"] + n_new,
-                              n_alive=n_alive,
-                              flag=s2["flag"] | gbad.any(),
-                              maxlev=jnp.maximum(
-                                  s2["maxlev"],
-                                  jnp.where(pvalid, clevel, 0).max()),
-                              cpi=cpi2, cpi_last=cpi_last2)
-                    if metric_mode:
-                        ratio = jnp.sqrt(jnp.sum(jnp.where(
-                            alive[:cap], metric[:cap] ** 2, 0.0))) \
-                            / params["tnorm"]
-                        s3.update(m_prev=s2["m_last"], m_last=ratio,
-                                  m_count=s2["m_count"] + 1)
-                        s3["ms"] = s2["ms"].at[s2["it"]].set(ratio)
-                    s3["ns"] = s3["ns"].at[s2["it"]].set(n_alive)
-                    s3["it"] = s2["it"] + 1
-                    return s3
-
-                return jax.lax.cond(guard, no_iter, do_iter, s)
+                n_alive = alive[:cap].sum()
+                s3 = dict(s)
+                s3.update(coords=coords, level=level, alive=alive,
+                          gain=gain, metric=metric, bad=bad,
+                          fill=s["fill"] + n_new,
+                          n_alive=n_alive,
+                          flag=s["flag"] | gbad.any() | guard,
+                          maxlev=jnp.maximum(
+                              s["maxlev"],
+                              jnp.where(pvalid, clevel, 0).max()),
+                          cpi=jnp.where(guard, s["cpi"], cpi2),
+                          cpi_last=jnp.where(guard, s["cpi_last"],
+                                             cpi_last2))
+                # a guarded iteration writes its series entries at index
+                # ``iters_cap`` — out of bounds, dropped by XLA's scatter
+                # OOB rule — and keeps every running scalar
+                it_w = jnp.where(guard, iters_cap, s["it"])
+                if metric_mode:
+                    ratio = jnp.sqrt(jnp.sum(jnp.where(
+                        alive[:cap], metric[:cap] ** 2, 0.0))) \
+                        / params["tnorm"]
+                    s3.update(m_prev=jnp.where(guard, s["m_prev"],
+                                               s["m_last"]),
+                              m_last=jnp.where(guard, s["m_last"], ratio),
+                              m_count=s["m_count"]
+                              + jnp.where(guard, 0, 1))
+                    s3["ms"] = s["ms"].at[it_w].set(ratio)
+                s3["ns"] = s3["ns"].at[it_w].set(n_alive)
+                s3["it"] = s["it"] + jnp.where(guard, 0, 1)
+                return s3
 
             return jax.lax.while_loop(cond, body, state)
 
