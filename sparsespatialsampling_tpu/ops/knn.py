@@ -251,6 +251,12 @@ def _topk_canonical(d2, cand, k):
     instead of by candidate-slot position.  Returns ``(sq, idx, sel)``
     ``[Q, k]`` in canonical ascending ``(sq, idx)`` order."""
     kk = min(k + 8, d2.shape[1])
+    # fusion fence: at small row counts (≤ ~4-8k, the device-loop regime)
+    # XLA fuses the candidate gather + distance reduce INTO top_k's
+    # multi-pass selection, recomputing them per pass — measured 45 ms for
+    # a [4096, 864] pass whose pieces cost 13 ms; the barrier restores
+    # 10 ms and is neutral at 36k rows (where XLA already materializes d2)
+    d2 = jax.lax.optimization_barrier(d2)
     top_s, sel = jax.lax.top_k(-d2, kk)
     idx = jnp.take_along_axis(cand, sel, axis=1)
     sq, idx, sel = jax.lax.sort((-top_s, idx, sel), dimension=1, num_keys=2)
@@ -420,6 +426,10 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k,
     g3 = dil_pts[flat].reshape(q, -1, d)                 # [Q, 3^d·C, d]
     dd = queries[:, None, :] - g3
     sq = jnp.sum(dd * dd, axis=-1)                       # [Q, 3^d·C] plain f32
+    # fusion fence before top_k (see _topk_canonical): prevents XLA from
+    # re-running the dilated gather + reduce once per top_k pass at small
+    # query counts — the fused form measured 4.4x slower at 4096 queries
+    sq = jax.lax.optimization_barrier(sq)
     if sorted_rows:
         top_s, sel = jax.lax.top_k(-sq, k)
         idx = dil_cand[flat[:, None], sel]               # [Q, k] pointwise
