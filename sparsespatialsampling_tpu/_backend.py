@@ -51,3 +51,32 @@ def enable_compilation_cache() -> None:
 def array_namespace(x):
     """Return jnp for jax arrays / tracers, numpy otherwise."""
     return jnp if isinstance(x, jax.Array) else np
+
+
+_JIT_CACHE = {}
+
+
+def cached_jit(key, make):
+    """Process-global cache of jitted callables.
+
+    A fresh ``jax.jit`` object re-traces on first call and — even on a
+    persistent-compile-cache hit — loads a NEW executable onto the device,
+    which over the remote tunnel costs ~0.4 s per program (measured: a
+    fresh ``BatchedValidity`` instance's first call is 0.47 s vs 0.04 s
+    for a repeat call on the same instance).  Engine objects are rebuilt
+    per run, so without sharing every run pays those loads again.
+
+    ``key`` must cover every value the traced function bakes into the
+    program as a constant (geometry content digests, static ints); shapes
+    and dtypes of *arguments* are keyed by jax itself.  A key of ``None``
+    (or containing ``None``) disables sharing and returns ``make()``
+    directly — the safe fallback for objects without a content digest.
+    """
+    def _has_none(k):
+        return k is None or (isinstance(k, tuple) and any(_has_none(x) for x in k))
+    if _has_none(key):
+        return make()
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = make()
+    return fn

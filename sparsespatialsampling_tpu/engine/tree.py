@@ -36,6 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .._backend import cached_jit
 from ..ops.knn import (KNNIndex, _search, _idw, _grid_neighborhood,
                        _topk_canonical, _dilated_topk, _dilated_select,
                        _grid_query_margin, _overflow_contaminated)
@@ -195,14 +196,23 @@ class BatchedValidity:
             else:
                 self._cheap.append(g)
 
+        # every geometry a jit below traces is keyed by its content digest
+        # so the compiled executables are shared across engine instances
+        # in one process (see _backend.cached_jit); a None digest falls
+        # back to per-instance jits
+        self._geo_keys = tuple(g.cache_key for g in self._cheap)
         if self._cheap:
             cheap = list(self._cheap)
 
-            def fn(nodes):
-                flags = [g.check_cells(nodes, refine_geometry) for g in cheap]
-                return reduce(operator.or_, flags)
+            def make_cheap():
+                def fn(nodes):
+                    flags = [g.check_cells(nodes, refine_geometry)
+                             for g in cheap]
+                    return reduce(operator.or_, flags)
+                return jax.jit(fn)
 
-            self._cheap_fn = jax.jit(fn)
+            self._cheap_fn = cached_jit(
+                ("bv_cheap", refine_geometry, self._geo_keys), make_cheap)
         else:
             self._cheap_fn = None
 
@@ -212,8 +222,10 @@ class BatchedValidity:
         self._expensive_fns = [
             partial(g.check_cells, refine_geometry=refine_geometry)
             if g.device_table_bytes > _FUSED_GEO_BYTES
-            else jax.jit(partial(g.check_cells,
-                                 refine_geometry=refine_geometry))
+            else cached_jit(
+                ("bv_exp", refine_geometry, g.cache_key),
+                lambda g=g: jax.jit(partial(g.check_cells,
+                                            refine_geometry=refine_geometry)))
             for g in self._expensive]
         self._cells_fn = None  # lazy jit of the (coords, level) entry
 
@@ -253,15 +265,18 @@ class BatchedValidity:
             cheap = list(self._cheap)
             refine = self._refine_geometry
 
-            # lo/width/offsets are ARGUMENTS, not closure constants — a
-            # from_cells call with a different lattice than the first call
-            # must not silently evaluate against the stale one
-            def fn(c, lev, lo32, offs32, w32):
-                nodes = _corner_nodes_f32(c, lev, lo32, w32, offs32)
-                flags = [g.check_cells(nodes, refine) for g in cheap]
-                return reduce(operator.or_, flags)
+            def make_cells():
+                # lo/width/offsets are ARGUMENTS, not closure constants — a
+                # from_cells call with a different lattice than the first
+                # call must not silently evaluate against the stale one
+                def fn(c, lev, lo32, offs32, w32):
+                    nodes = _corner_nodes_f32(c, lev, lo32, w32, offs32)
+                    flags = [g.check_cells(nodes, refine) for g in cheap]
+                    return reduce(operator.or_, flags)
+                return jax.jit(fn)
 
-            self._cells_fn = jax.jit(fn)
+            self._cells_fn = cached_jit(
+                ("bv_cells", refine, self._geo_keys), make_cells)
         mp = _bucket(m)
         cpad = np.zeros((mp, coords.shape[1]), dtype=np.int32)
         cpad[:m] = coords
@@ -931,8 +946,18 @@ class SamplingTree:
                                      offsets, pred, bad)
 
         common = self._epoch_common_args()
+        # every constant the single-chip epoch closures trace: the fused
+        # geometry digests plus the static ints above.  cached_jit shares
+        # the compiled executables across SamplingTree instances in one
+        # process (a fresh jit object costs a ~0.4 s program load through
+        # the tunnel per kernel per run); a None geometry digest disables
+        # sharing for that geometry set.
+        ekey = (d, k, tile_n, tile_q,
+                tuple(g.cache_key for g in
+                      getattr(self, "_fused_geos", self._geometry)))
 
-        jit_full = jax.jit(fn_full)
+        jit_full = cached_jit(("epoch_full",) + ekey,
+                              lambda: jax.jit(fn_full))
         full_args = common + (knn._points, knn._points_sq, knn._values)
         self._epoch_fn_full = lambda c, l: jit_full(c, l, *full_args)
         # small-tile variant for exact-fallback retries: a typical adaptive
@@ -940,7 +965,8 @@ class SamplingTree:
         # and padding them to the 1024-cell bucket made every retry cost a
         # ~9k-query full scan (~0.8 s/iter at 500k points). tile_q=128 pads
         # retries to 128 cells instead.
-        jit_full_small = jax.jit(fn_full_small)
+        jit_full_small = cached_jit(("epoch_full_small",) + ekey,
+                                    lambda: jax.jit(fn_full_small))
         self._epoch_fn_full_small = lambda c, l: jit_full_small(c, l, *full_args)
 
         self._epoch_fn_ring = None
@@ -949,7 +975,8 @@ class SamplingTree:
             # engine values (the metric) are scalar; guard anyway in case a
             # caller re-attached multichannel values to the shared index
             if "dil_pts" in g and knn._values.ndim == 1:
-                jit_grid = jax.jit(fn_grid_dil)
+                jit_grid = cached_jit(("epoch_dil",) + ekey,
+                                      lambda: jax.jit(fn_grid_dil))
                 grid_args = common + (g["dil_pts"], g["dil_cand"],
                                       g["dil_ovf"], knn._values,
                                       g["cell_pts"],
@@ -959,12 +986,14 @@ class SamplingTree:
                 self._dil_core = fn_grid_dil
                 self._dil_core_args = grid_args
             else:
-                jit_grid = jax.jit(fn_grid)
+                jit_grid = cached_jit(("epoch_grid",) + ekey,
+                                      lambda: jax.jit(fn_grid))
                 grid_args = common + (g["cell_pts"], knn._values,
                                       g["cell_list"], g["overflow"],
                                       g["origin"], g["inv_h"], g["dims"])
             self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
-            jit_ring = jax.jit(fn_grid_ring(4))
+            jit_ring = cached_jit(("epoch_ring", 4) + ekey,
+                                  lambda: jax.jit(fn_grid_ring(4)))
             ring_args = common + (g["cell_pts"], knn._values,
                                   g["cell_list"], g["overflow"], g["origin"],
                                   g["inv_h"], g["dims"])
@@ -1184,12 +1213,14 @@ class SamplingTree:
         key = id(g)
         fn = self._geo_fused_checkers.get(key)
         if fn is None:
-            def fused(c, lev, lo32, offs32, w32):
-                nodes = _corner_nodes_f32(c, lev, lo32, w32, offs32)
-                return jnp.stack([g.check_cells(nodes, False),
-                                  g.check_cells(nodes, True)], axis=1)
+            def make_fused():
+                def fused(c, lev, lo32, offs32, w32):
+                    nodes = _corner_nodes_f32(c, lev, lo32, w32, offs32)
+                    return jnp.stack([g.check_cells(nodes, False),
+                                      g.check_cells(nodes, True)], axis=1)
+                return jax.jit(fused)
 
-            fn = jax.jit(fused)
+            fn = cached_jit(("geo_fused", g.cache_key), make_fused)
             self._geo_fused_checkers[key] = fn
         mp = _bucket(m)
         cpad = np.zeros((mp, self._n_dimensions), dtype=np.int32)
@@ -1609,7 +1640,14 @@ class SamplingTree:
 
             return jax.lax.while_loop(cond, body, state)
 
-        fn = jax.jit(loop_fn)
+        # the loop's trace is fully determined by (cap, k_max, metric_mode)
+        # plus everything the dilated epoch core traces (d, k, tiles, fused
+        # geometry content) — share the compiled loop across runs
+        ekey = (d, self._n_neighbors, self._knn._tile_n, self._knn._tile_q,
+                tuple(g.cache_key for g in
+                      getattr(self, "_fused_geos", self._geometry)))
+        fn = cached_jit(("devloop", cap, k_max, metric_mode) + ekey,
+                        lambda: jax.jit(loop_fn))
         self._device_loops[key] = fn
         return fn
 

@@ -95,6 +95,38 @@ class GeometryObject(ABC):
         return None
 
     @property
+    def cache_key(self):
+        """Stable digest of everything a traced :meth:`mask_points` bakes
+        into a compiled program (class, polarity, defining constants).
+
+        Used by the engine to share jitted executables across runs in one
+        process — a fresh ``jax.jit`` object forces a re-trace and a new
+        executable load on the device even when the compiled program is
+        byte-identical.  Returns ``None`` (sharing disabled) when the
+        subclass does not declare its trace constants."""
+        if getattr(self, "_cache_key_val", None) is None:
+            parts = self._trace_constants()
+            if parts is None:
+                return None
+            import hashlib
+            h = hashlib.blake2b(digest_size=16)
+            h.update(type(self).__name__.encode())
+            h.update(b"1" if self._keep_inside else b"0")
+            for p in parts:
+                a = np.asarray(p)
+                h.update(f"|{a.dtype}|{a.shape}|".encode())
+                h.update(np.ascontiguousarray(a).tobytes())
+            self._cache_key_val = h.hexdigest()
+        return self._cache_key_val
+
+    def _trace_constants(self):
+        """Arrays/scalars that fully determine this geometry's traced
+        mask (everything :meth:`mask_points` closes over, or inputs those
+        values derive from deterministically).  ``None`` opts out of
+        executable sharing."""
+        return None
+
+    @property
     def device_table_bytes(self) -> int:
         """Approximate bytes of device lookup tables a traced
         :meth:`mask_points` references.  Closed-form geometries carry none;

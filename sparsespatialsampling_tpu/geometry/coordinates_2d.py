@@ -45,6 +45,9 @@ class GeometryCoordinates2D(GeometryObject):
         self._x2 = coords[1:, 0]
         self._y2 = coords[1:, 1]
 
+    def _trace_constants(self):
+        return [self._coordinates]
+
     def mask_points(self, points):
         xp = array_namespace(points)
         x = points[:, 0:1]

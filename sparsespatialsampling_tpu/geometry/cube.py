@@ -37,6 +37,9 @@ class CubeGeometry(GeometryObject):
     def bounding_box(self):
         return self._lower, self._upper
 
+    def _trace_constants(self):
+        return [self._lower, self._upper]
+
     def _check_geometry(self) -> None:
         assert self._lower_bound, \
             "The box needs a lower corner — the lower-bound list is empty."

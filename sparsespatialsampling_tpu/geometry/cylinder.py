@@ -53,6 +53,9 @@ class CylinderGeometry3D(GeometryObject):
 
         return xp.logical_and(within_height, normal_distance <= local_radius)
 
+    def _trace_constants(self):
+        return [self._position, np.asarray(self._radius, dtype=np.float64)]
+
     def bounding_box(self):
         r = max(self._radius) if isinstance(self._radius, (list, tuple)) else self._radius
         lower = np.minimum(self._position[0], self._position[1]) - r

@@ -48,6 +48,9 @@ class PrismGeometry3D(GeometryObject):
         self._main_width = self._compute_main_width()
         self._center = self._compute_center()
 
+    def _trace_constants(self):
+        return list(self._positions)
+
     def mask_points(self, points):
         xp = array_namespace(points)
         direction_vec = points - self._positions[0][0]

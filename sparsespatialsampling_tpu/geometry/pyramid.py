@@ -76,6 +76,9 @@ class PyramidGeometry3D(GeometryObject):
         self._diagonal_idx = (idx[i], idx[j])
         self._off_diagonal = [i for i in idx if i not in self._diagonal_idx]
 
+    def _trace_constants(self):
+        return [self._nodes]
+
     def mask_points(self, points):
         xp = array_namespace(points)
         masks = xp.stack([tet.check_tetrahedron(points) for tet in self._tets], axis=1)

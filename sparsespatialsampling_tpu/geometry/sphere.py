@@ -33,6 +33,9 @@ class SphereGeometry(GeometryObject):
     def bounding_box(self):
         return self._center - self._radius, self._center + self._radius
 
+    def _trace_constants(self):
+        return [self._center, float(self._radius)]
+
     def _check_geometry(self) -> None:
         assert self._position, \
             "The sphere needs its center coordinates — the position list is empty."

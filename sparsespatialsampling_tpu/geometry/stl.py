@@ -21,7 +21,7 @@ import struct
 import numpy as np
 import jax
 import jax.numpy as jnp
-from functools import partial
+from functools import lru_cache, partial
 
 from .base import GeometryObject
 
@@ -485,9 +485,16 @@ def build_sign_grid(triangles: np.ndarray) -> dict:
             "n_near_vox": n_near, "n_vox": n_vox}
 
 
+@lru_cache(maxsize=None)
 def _make_sign_mask_fn(use_fw: bool, chunk: int):
     """Jitted inside-test routed through the sign grid: one int8 gather per
     query; only near-surface-band queries pay exact winding.
+
+    Cached on ``(use_fw, chunk)`` — the closure captures nothing else, all
+    tables arrive as call arguments, so the jitted executable is shared
+    across STL instances and runs in one process (a fresh ``jax.jit``
+    object would reload the program onto the device each run, ~0.4 s over
+    the tunnel).
 
     Near-band points are COMPACTED to a prefix (stable argsort, ascending
     index among equals) before the exact sweeps, so the call runs
@@ -636,6 +643,11 @@ class GeometrySTL3D(GeometryObject):
 
     def bounding_box(self):
         return self._lower_bound, self._upper_bound
+
+    def _trace_constants(self):
+        # every mask structure (sign grid, fast-winding tables, bbox) is a
+        # deterministic function of the (possibly decimated) triangle soup
+        return [self._triangles]
 
     # the cached jitted mask callable is a local closure — rebuild it on
     # unpickle instead of serializing it (checkpoints pickle the whole

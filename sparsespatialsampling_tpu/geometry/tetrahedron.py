@@ -43,6 +43,9 @@ class TetrahedronGeometry3D(GeometryObject):
         normals[:, check < 0] *= -1
         return normals
 
+    def _trace_constants(self):
+        return [self._positions]
+
     def mask_points(self, points):
         xp = array_namespace(points)
         # vectors from every tet vertex to every query point: [M, 4, 3]

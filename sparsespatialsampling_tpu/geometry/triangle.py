@@ -27,6 +27,9 @@ class TriangleGeometry(GeometryObject):
         # 2D cross product a x b = a0*b1 - a1*b0 (b is a batch of vectors)
         return a[0] * b[:, 1] - a[1] * b[:, 0]
 
+    def _trace_constants(self):
+        return list(self._points)
+
     def mask_points(self, points):
         p0, p1, p2 = self._points
         d1 = self._cross_product_2d(p1 - p0, points - p0)
