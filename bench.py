@@ -334,10 +334,10 @@ def main():
     # break down the better run (the grids are identical)
     runs = [run_cylinder3d(tmp) for _ in range(2)]
     c3d_totals = [r[1] + r[2] + r[3] for r in runs]
-    # degraded-tunnel insurance: warm runs land at ~12-14 s; if BOTH runs
-    # miss that envelope by 2x the wire is sick, not the kernels — one
-    # more attempt costs ~15 s and often lands in a healthier phase
-    if min(c3d_totals) > 28.0:
+    # degraded-tunnel insurance: warm runs land at ~6-8 s; if BOTH runs
+    # miss that envelope by ~2x the wire is sick, not the kernels — one
+    # more attempt costs ~10 s and often lands in a healthier phase
+    if min(c3d_totals) > 15.0:
         runs.append(run_cylinder3d(tmp))
         c3d_totals.append(runs[-1][1] + runs[-1][2] + runs[-1][3])
     best = int(np.argmin(c3d_totals))
