@@ -429,3 +429,63 @@ class TestPackedReadback:
         a = np.arange(12, dtype=np.int32).reshape(3, 4)
         (out,) = packed_readback([jnp.asarray(a)])
         np.testing.assert_array_equal(out, a)
+
+
+class TestCachedJit:
+    """Process-global executable sharing (`_backend.cached_jit`) — wrong
+    cache keys would silently evaluate one geometry's mask with another's
+    compiled constants."""
+
+    def test_geometry_cache_keys_distinguish_content(self):
+        from sparsespatialsampling_tpu.geometry import (CubeGeometry,
+                                                        SphereGeometry)
+        a = CubeGeometry("a", True, [0, 0], [1, 1])
+        b = CubeGeometry("b", True, [0, 0], [1, 1])          # same content
+        c = CubeGeometry("c", True, [0, 0], [1, 2])          # different box
+        d = CubeGeometry("d", False, [0, 0], [1, 1])         # polarity flip
+        s = SphereGeometry("s", True, [0.5, 0.5], 0.5)
+        assert a.cache_key == b.cache_key
+        assert a.cache_key != c.cache_key
+        assert a.cache_key != d.cache_key
+        assert a.cache_key != s.cache_key
+
+    def test_cached_jit_shares_and_splits(self):
+        from sparsespatialsampling_tpu._backend import cached_jit
+        made = []
+
+        def make():
+            made.append(1)
+            return object()
+
+        f1 = cached_jit(("t_ops_cj", 1), make)
+        f2 = cached_jit(("t_ops_cj", 1), make)
+        f3 = cached_jit(("t_ops_cj", 2), make)
+        assert f1 is f2 and f1 is not f3 and len(made) == 2
+        # None anywhere in the (nested) key disables sharing
+        g1 = cached_jit(("t_ops_cj", (None,)), make)
+        g2 = cached_jit(("t_ops_cj", (None,)), make)
+        assert g1 is not g2
+        h1 = cached_jit(None, make)
+        h2 = cached_jit(None, make)
+        assert h1 is not h2
+
+    def test_batched_validity_shared_executable_masks_correctly(self):
+        """Two BatchedValidity instances over same-content geometries share
+        one jitted fn; a different-content instance must NOT."""
+        import numpy as np
+        from sparsespatialsampling_tpu.geometry import CubeGeometry
+        from sparsespatialsampling_tpu.engine.tree import BatchedValidity
+
+        def mk(upper):
+            return BatchedValidity(
+                [CubeGeometry("dom", True, [0.0, 0.0], [1.0, upper])])
+
+        bv1, bv2, bv3 = mk(1.0), mk(1.0), mk(2.0)
+        assert bv1._cheap_fn is bv2._cheap_fn
+        assert bv1._cheap_fn is not bv3._cheap_fn
+        # cell fully above y=1: valid (nodes inside) for the tall domain,
+        # invalid (no node inside) for the unit domain
+        nodes = np.asarray([[[0.4, 1.4], [0.6, 1.4], [0.6, 1.2],
+                             [0.4, 1.2]]], dtype=np.float64)
+        assert not bool(bv3(nodes)[0])
+        assert bool(bv1(nodes)[0])
