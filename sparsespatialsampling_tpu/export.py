@@ -16,6 +16,13 @@ from typing import Union
 
 import numpy as np
 
+try:  # pre-import at module load: scipy's first import costs ~0.3-0.4 s on
+    # this host and otherwise lands inside the first export's weight-cache
+    # build (build_host_operator defers the import so scipy stays optional)
+    import scipy.sparse  # noqa: F401
+except ImportError:
+    pass
+
 from .io.const import GRID, CONST, FACES, CENTERS, VERTICES, DATA
 from .io.data import Datawriter
 from .ops.knn import KNNIndex

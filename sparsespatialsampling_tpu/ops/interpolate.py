@@ -88,9 +88,9 @@ def build_host_operator(w, idx, n_src: int):
     row, so the f32 accumulation order — and therefore the result, to the
     bit — matches the chunked ``einsum`` this replaces; scipy's C kernel is
     ~2x faster than numpy's fancy-index gather + contraction on this host
-    and the pack cost (~10 ms at 151k x 26) amortizes across all fields and
-    snapshot batches of an export."""
-    import scipy.sparse as sp
+    and the pack cost (~10 ms at 151k x 26, plus scipy's one-time import)
+    amortizes across all fields and snapshot batches of an export."""
+    import scipy.sparse as sp  # deferred: scipy optional for device-only use
     w = np.asarray(w, dtype=np.float32)
     idx = np.asarray(idx, dtype=np.int64)
     q, k = w.shape

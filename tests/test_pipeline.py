@@ -669,3 +669,57 @@ class TestMisc:
         st._coords[alive] = np.arange(4)[:, None] + (1 << 22)
         st._process_new_cells(alive)
         assert np.isfinite(st._gain[alive]).all()
+
+
+class TestRepeatedRunsShareExecutables:
+    """Rebuilding the same pipeline in one process reuses cached jitted
+    executables (`_backend.cached_jit`) — the grids must stay identical,
+    and a different-content geometry must NOT inherit a stale executable."""
+
+    def test_same_config_twice_identical_grid(self, cloud_2d, tmp_path):
+        xy, metric = cloud_2d
+
+        def run(name):
+            s3 = SparseSpatialSampling(
+                xy, metric,
+                [CubeGeometry("domain", True, [0, 0], [1, 1]),
+                 SphereGeometry("obst", False, [0.5, 0.5], 0.1,
+                                refine=True, min_refinement_level=4)],
+                save_path=str(tmp_path), save_name=name,
+                uniform_levels=3, n_cells_max=1500)
+            s3.execute_grid_generation()
+            return s3
+
+        a, b = run("a"), run("b")
+        np.testing.assert_array_equal(np.asarray(a.faces),
+                                      np.asarray(b.faces))
+        np.testing.assert_array_equal(np.asarray(a.levels),
+                                      np.asarray(b.levels))
+        np.testing.assert_allclose(np.asarray(a.centers),
+                                   np.asarray(b.centers), rtol=0, atol=0)
+
+    def test_changed_geometry_changes_grid(self, cloud_2d, tmp_path):
+        xy, metric = cloud_2d
+
+        def run(name, radius):
+            s3 = SparseSpatialSampling(
+                xy, metric,
+                [CubeGeometry("domain", True, [0, 0], [1, 1]),
+                 SphereGeometry("obst", False, [0.5, 0.5], radius)],
+                save_path=str(tmp_path), save_name=name,
+                uniform_levels=4, n_cells_max=2000)
+            s3.execute_grid_generation()
+            return s3
+
+        small, big = run("s", 0.05), run("l", 0.25)
+        # the annulus r in (0.07, 0.24) is kept by the small obstacle but
+        # removed by the big one — if the second run silently reused the
+        # first's compiled mask, its centers would still populate it
+        r2_small = ((np.asarray(small.centers) - [0.5, 0.5]) ** 2).sum(1)
+        r2_big = ((np.asarray(big.centers) - [0.5, 0.5]) ** 2).sum(1)
+        assert ((r2_small > 0.07 ** 2) & (r2_small < 0.24 ** 2)).any()
+        # removal needs ALL nodes inside (reference truth table), so
+        # boundary-straddling cells legitimately keep centers slightly
+        # inside the circle — allow one coarsest-cell half-diagonal
+        # (level 4: 0.707/16 = 0.0442)
+        assert not (r2_big <= 0.20 ** 2).any()
