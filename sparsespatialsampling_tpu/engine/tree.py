@@ -1646,8 +1646,9 @@ class SamplingTree:
         ekey = (d, self._n_neighbors, self._knn._tile_n, self._knn._tile_q,
                 tuple(g.cache_key for g in
                       getattr(self, "_fused_geos", self._geometry)))
-        fn = cached_jit(("devloop", cap, k_max, metric_mode) + ekey,
-                        lambda: jax.jit(loop_fn))
+        fn = cached_jit(
+            ("devloop", cap, k_max, metric_mode, iters_cap, lev_cap) + ekey,
+            lambda: jax.jit(loop_fn))
         self._device_loops[key] = fn
         return fn
 
