@@ -182,7 +182,9 @@ def _overflow_contaminated(queries, ovf_nb, sq_max, origin, inv_h,
     regions that meant a full scan every iteration for nothing.
 
     ``ovf_nb [Q, R]`` per-neighbor overflow flags in `_neighbor_offsets`
-    order; ``sq_max [Q]`` the realized k-th squared distance."""
+    order (bool, or f32 0/1 — the flag tables are stored f32 on device
+    because bool sub-word row gathers measured ~2x slower); ``sq_max [Q]``
+    the realized k-th squared distance."""
     d = queries.shape[1]
     offs = jnp.asarray(_neighbor_offsets(d, radius), dtype=jnp.float32)
     h = 1.0 / inv_h
@@ -191,7 +193,7 @@ def _overflow_contaminated(queries, ovf_nb, sq_max, origin, inv_h,
     gap = jnp.maximum(jnp.maximum(lo_box - queries[:, None, :],
                                   queries[:, None, :] - (lo_box + h)), 0.0)
     dist2 = jnp.sum(gap * gap, axis=-1)                                 # [Q, R]
-    return (ovf_nb & (dist2 <= sq_max[:, None])).any(axis=1)
+    return ((ovf_nb > 0.5) & (dist2 <= sq_max[:, None])).any(axis=1)
 
 
 def _grid_neighborhood(anchors, n_cells_total, origin, inv_h, dims,
@@ -774,7 +776,10 @@ class KNNIndex:
             "inv_h": jnp.float32(1.0 / plan["h"]),
             "dims": jnp.asarray(plan["dims"], dtype=jnp.int32),
             "cell_list": cell_list_dev,
-            "overflow": jnp.asarray(plan["overflow"]),
+            # f32 0/1, not bool: the [Q, R] flag row gathers in the query
+            # kernels run ~2x faster on word-sized elements (6.5 -> 3.6 ms
+            # per 36.8k queries measured on the c3d dilated layout)
+            "overflow": jnp.asarray(plan["overflow"], dtype=jnp.float32),
             # gathered on device from the already-uploaded point array —
             # the C·d·4 B/cell host copy never crosses the link
             "cell_pts": _blocked_pts_device(self._points, cell_list_dev),

@@ -89,7 +89,9 @@ class ShardedKNNIndex:
         dil_pts = plan["cell_pts"].reshape(n_cells + 1, C * d)[nb] \
             .reshape(n_cells + 1, -1)
         dil_cand = plan["cell_list"][nb].reshape(n_cells + 1, -1)
-        dil_ovf = plan["overflow"][nb]                       # [rows, 3^d]
+        # f32 0/1 like the single-chip layout: bool row gathers are ~2x
+        # slower on device (see ops/knn._overflow_contaminated)
+        dil_ovf = plan["overflow"].astype(np.float32)[nb]    # [rows, 3^d]
 
         # pad rows to a multiple of the mesh size with sentinel-row copies
         # (all-pad: huge coords, never exact) so the row shards are equal
