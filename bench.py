@@ -186,7 +186,8 @@ def run_cylinder3d(tmp):
     write_svd_s_cube_to_file("k", tmp, "c3d", new_file=False, rank=20,
                              n_modes=5)
     t_svd = time.perf_counter() - t2
-    return s3, t_refine, t_interp, t_svd, exp.timings
+    from sparsespatialsampling_tpu.utils import last_svd_timings
+    return s3, t_refine, t_interp, t_svd, exp.timings, dict(last_svd_timings)
 
 
 def synthetic_sphere_stl(path: str, n_lat: int = 180, n_lon: int = 144):
@@ -259,30 +260,41 @@ def warmup_tunnel():
     return time.perf_counter() - t0
 
 
-def probe_backend(timeout_s: int = 300) -> bool:
-    """Check in a SUBPROCESS that the jax backend actually initializes.
+def probe_backend(timeout_s: int = 570, attempts: int = 3) -> float:
+    """Check in a SUBPROCESS that the jax backend actually initializes;
+    returns the init wall seconds (-1.0 if every attempt timed out).
+
     When the TPU tunnel is down, ``jax.devices()`` hangs indefinitely
     inside this process (uninterruptible); probing in a child process lets
     the bench emit a parseable failure record instead of hanging until the
-    driver kills it."""
+    driver kills it.  Init times of 250-300+ s have been observed during
+    sick tunnel phases that later recover — hence a generous per-attempt
+    timeout and retries (a failed attempt often leaves the channel warmer
+    for the next one)."""
     import subprocess
     import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return time.perf_counter() - t0
+        except subprocess.TimeoutExpired:
+            pass
+    return -1.0
 
 
 def main():
-    if not probe_backend():
+    t_probe = probe_backend()
+    if t_probe < 0:
         print(json.dumps({
             "metric": "oat15_2d e2e refine+interp+svd wall",
             "value": -1.0, "unit": "s", "vs_baseline": 0.0,
             "error": ("accelerator backend failed to initialize within "
-                      "300 s (TPU tunnel down) — no measurement taken")}))
+                      "3 x 570 s (TPU tunnel down) — no measurement "
+                      "taken")}))
         return
 
     from sparsespatialsampling_tpu import ExportData, write_svd_s_cube_to_file
@@ -315,13 +327,16 @@ def main():
         write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20,
                                  n_modes=5)
         t_svd = time.perf_counter() - t2
-        return s3, exp, t_init, t_refine, t_interp, t_svd
+        from sparsespatialsampling_tpu.utils import last_svd_timings
+        return (s3, exp, t_init, t_refine, t_interp, t_svd,
+                dict(last_svd_timings))
 
     oat_runs = [run_oat_pipeline() for _ in range(2)]
     oat_totals = [sum(r[3:6]) for r in oat_runs]
     oat_refines = [r[3] for r in oat_runs]
     best_oat = int(np.argmin(oat_totals))
-    s3, exp, t_init, t_refine, t_interp, t_svd = oat_runs[best_oat]
+    (s3, exp, t_init, t_refine, t_interp, t_svd,
+     oat_svd_t) = oat_runs[best_oat]
     t_refine1, t_refine2 = oat_refines
 
     t_total = oat_totals[best_oat]
@@ -341,7 +356,7 @@ def main():
         runs.append(run_cylinder3d(tmp))
         c3d_totals.append(runs[-1][1] + runs[-1][2] + runs[-1][3])
     best = int(np.argmin(c3d_totals))
-    c3d, c3d_refine, c3d_interp, c3d_svd, c3d_exp_t = runs[best]
+    c3d, c3d_refine, c3d_interp, c3d_svd, c3d_exp_t, c3d_svd_t = runs[best]
     c3d_total = c3d_totals[best]
 
     out = {
@@ -351,6 +366,7 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_REFINE_S / min(oat_refines), 3),
         "t_warmup_s": round(t_warmup, 3),
+        "t_probe_s": round(t_probe, 3),
         "oat_run1_s": round(oat_totals[0], 3),
         "oat_run2_s": round(oat_totals[1], 3),
         "t_refine_run1_s": round(t_refine1, 3),
@@ -363,6 +379,8 @@ def main():
                          if s3.data_final_mesh["t_geometry"] else None),
         "t_interp_s": round(t_interp, 3),
         "t_svd_s": round(t_svd, 3),
+        # SVD sub-phases: HDF5 reads / compute_svd / mode+grid+XDMF writes
+        **{f"t_svd_{k[2:]}_s": round(v, 3) for k, v in oat_svd_t.items()},
         "n_cells": n_cells,
         "captured_metric": round(captured, 4),
         "baseline_refine_s": BASELINE_REFINE_S,
@@ -375,6 +393,7 @@ def main():
         "c3d_refine_s": round(c3d_refine, 3),
         "c3d_interp_s": round(c3d_interp, 3),
         "c3d_svd_s": round(c3d_svd, 3),
+        **{f"c3d_svd_{k[2:]}_s": round(v, 3) for k, v in c3d_svd_t.items()},
         "c3d_uniform_s": round(c3d.data_final_mesh["t_uniform"], 3),
         "c3d_adaptive_s": round(c3d.data_final_mesh["t_adaptive"], 3),
         "c3d_geometry_s": (round(c3d.data_final_mesh["t_geometry"], 3)
@@ -398,6 +417,9 @@ def main():
     # adaptive-loop attribution: host selection vs device epoch wall
     for k, v in (c3d.data_final_mesh.get("adaptive_split") or {}).items():
         out[f"c3d_adaptive_{k}"] = v
+    # renumber attribution: host unique/scatter vs HDF5-side costs
+    for k, v in (c3d.data_final_mesh.get("renumber_split") or {}).items():
+        out[f"c3d_renumber_{k}"] = v
 
     # -- workload 3: STL obstacle at the reference's 5e4-triangle scale ---
     # same two-run protocol as c3d: run1 pays the fresh compiles of the

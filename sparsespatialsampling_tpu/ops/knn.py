@@ -134,6 +134,54 @@ def _pack_i32(*arrs):
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
 
 
+@jax.jit
+def _pack_idx_delta(idx, ok):
+    """Delta-compress a ``[n, k]`` int32 neighbor-index block for readback.
+
+    Neighbors of one query cluster in the Morton-sorted point order, so
+    ``idx - min(idx)`` almost always fits in uint16.  Rows travel as
+    ``[base | k/2 packed u16 pairs | flags]`` int32 lanes — 4+2k+4 bytes
+    instead of 4k+4, and the low-entropy delta lanes also move faster
+    through the tunnel than raw indices.  ``flags`` bit0 = kernel-exact
+    (``ok``), bit1 = deltas fit (rows with bit1 clear need a raw fixup
+    gather; measured ~12 % worst-case on uniform clouds, far less on the
+    clustered export queries)."""
+    k = idx.shape[1]
+    base = idx.min(axis=1)
+    delta = idx - base[:, None]
+    fits = (delta < 65536).all(axis=1)
+    d = jnp.where(fits[:, None], delta, 0).astype(jnp.uint32)
+    if k % 2:
+        d = jnp.concatenate([d, jnp.zeros_like(d[:, :1])], axis=1)
+    pairs = d[:, 0::2] | (d[:, 1::2] << 16)
+    flags = ok.astype(jnp.int32) | (fits.astype(jnp.int32) << 1)
+    return jnp.concatenate(
+        [base[:, None],
+         jax.lax.bitcast_convert_type(pairs, jnp.int32),
+         flags[:, None]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("p",))
+def _take_rows_pad(arr, rows, p: int):
+    """Row gather with a pow2-padded row list (bounds compiled shapes)."""
+    r = jnp.zeros(p, jnp.int32).at[:rows.shape[0]].set(rows)
+    return jnp.take(arr, r, axis=0)
+
+
+def _unpack_idx_delta(rows, k: int):
+    """Host inverse of :func:`_pack_idx_delta` → ``(idx [n,k] int32,
+    ok [n] bool, fits [n] bool)``."""
+    base = rows[:, 0]
+    pairs = np.ascontiguousarray(rows[:, 1:-1]).view(np.uint32)
+    k2 = pairs.shape[1]
+    delta = np.empty((rows.shape[0], 2 * k2), dtype=np.int32)
+    delta[:, 0::2] = (pairs & 0xFFFF).astype(np.int32)
+    delta[:, 1::2] = (pairs >> 16).astype(np.int32)
+    flags = rows[:, -1]
+    return (base[:, None] + delta[:, :k],
+            (flags & 1) != 0, (flags & 2) != 0)
+
+
 def _sort_neighbors(sq, idx, *payload):
     """Canonical neighbor order: ascending ``(sq, idx)`` lexicographic.
 
@@ -963,28 +1011,48 @@ class KNNIndex:
         # pack every chunk's outputs into one int32 matrix on device and
         # read ALL chunks back in a single transfer; for "query_idx" the
         # sq buffer never crosses the link (distances are recomputed
-        # host-side from the centered cloud)
+        # host-side from the centered cloud) and the index block itself is
+        # delta-compressed (``_pack_idx_delta``: ~44 % fewer bytes)
         if mode == "predict":
             packed = [_pack_i32(fut[0], fut[1]) for _, _, fut in pending]
         elif mode == "query_idx":
-            packed = [_pack_i32(fut[1], fut[2]) for _, _, fut in pending]
+            packed = [_pack_idx_delta(fut[1], fut[2])
+                      for _, _, fut in pending]
         else:
             packed = [_pack_i32(fut[0], fut[1], fut[2])
                       for _, _, fut in pending]
         hosts = packed_readback(packed)
         bad_rows = []
-        for (lo, n, fut), pk in zip(pending, hosts):
+        misfits = []  # (chunk_pos, lo, local_rows) needing a raw-row fixup
+        for pos, ((lo, n, fut), pk) in enumerate(zip(pending, hosts)):
             rows = pk[:n]
             if mode == "predict":
                 out[lo:lo + n] = rows[:, :-1].copy().view(
                     np.float32).reshape(out[lo:lo + n].shape)
+                ok = rows[:, -1] != 0
             elif mode == "query_idx":
-                out_idx[lo:lo + n] = rows[:, :k]
+                idx_c, ok, fits = _unpack_idx_delta(rows, k)
+                out_idx[lo:lo + n] = idx_c
+                mis = np.nonzero(ok & ~fits)[0]
+                if mis.size:
+                    misfits.append((pos, lo, mis))
             else:
                 out_sq[lo:lo + n] = rows[:, :k].copy().view(np.float32)
                 out_idx[lo:lo + n] = rows[:, k:2 * k]
-            ok = rows[:, -1] != 0
+                ok = rows[:, -1] != 0
             bad_rows.append(lo + np.nonzero(~ok)[0])
+
+        if misfits:
+            # rare rows whose index spread exceeded uint16: gather their raw
+            # int32 rows on device (pow2-padded lists, one transfer for all)
+            gathers = [
+                _take_rows_pad(pending[pos][2][1],
+                               jnp.asarray(mis.astype(np.int32)),
+                               _bucket_pow2(mis.size, 8))
+                for pos, _, mis in misfits]
+            fixed = packed_readback(gathers)
+            for (pos, lo, mis), fx in zip(misfits, fixed):
+                out_idx[lo + mis] = fx[:mis.size]
 
         bad = np.concatenate(bad_rows) if bad_rows else np.zeros(0, dtype=int)
         self.last_fallback = int(bad.size)

@@ -79,11 +79,11 @@ def _svd_device(a):
     return jnp.linalg.svd(a, full_matrices=False)
 
 
-def _tall_skinny_svd(a: np.ndarray) -> tuple:
+def _tall_skinny_svd(a: np.ndarray, max_rank: int = None) -> tuple:
     """Exact thin SVD of a tall-skinny matrix via the float64 snapshot
     method (Gram matrix + eigendecomposition) on the host.
 
-    Deliberately NOT a device path: the heavy work is two O(m·n²) dgemms
+    Deliberately NOT a device path: the heavy work is two O(m·n²) gemms
     with tiny n (~1.5 GFLOP for the [150k, 50] S³ snapshot shape, ~0.3 s),
     while every device alternative measured far worse end-to-end on this
     TPU (``jnp.linalg.svd`` ~4 s; ``jnp.linalg.qr`` ~100 s — it lowers to
@@ -91,24 +91,43 @@ def _tall_skinny_svd(a: np.ndarray) -> tuple:
     ~35 MB/s tunnel readback regardless.  Host LAPACK QR would avoid the
     Gram squaring but runs at BLAS-2 speed here (~5 s); in float64 the
     squaring is harmless — singular values resolve down to ~√(eps·√m)·σ₁ ≈
-    3e-7·σ₁, far below the f32 input data's own precision."""
-    af = a.astype(np.float64)
-    gram = af.T @ af
+    3e-7·σ₁, far below the f32 input data's own precision.
+
+    The Gram product accumulates in f64 over row blocks through one
+    reusable buffer — the full ``m×n`` f64 copy it replaces cost more in
+    page faults than the dgemm itself on this box.  ``s`` always carries
+    the FULL spectrum (rank selection needs it); with ``max_rank`` only
+    that many mode/V columns are materialized — the tall sgemm output is
+    the other memory-bound term, and callers with an explicit rank (the
+    usual export path) don't pay for modes they discard."""
+    m, n = a.shape
+    gram = np.zeros((n, n), dtype=np.float64)
+    chunk = 65536
+    buf = np.empty((min(chunk, m), n), dtype=np.float64)
+    for lo in range(0, m, chunk):
+        h = min(chunk, m - lo)
+        buf[:h] = a[lo:lo + h]                # casts f32→f64 in place
+        gram += buf[:h].T @ buf[:h]
     lam, v = np.linalg.eigh(gram)
     lam, v = lam[::-1], v[:, ::-1]            # descending
     s = np.sqrt(np.maximum(lam, 0.0))
     floor = np.finfo(np.float64).eps ** 0.5 * max(s[0], 1e-300)
     inv = np.where(s > floor, 1.0 / np.maximum(s, floor), 0.0)
+    cols = n if max_rank is None else max(min(int(max_rank), n), 1)
     # the mode matmul runs in f32 (this host's BLAS is memory-bound on the
     # tall output; sgemm halves the traffic and skips the f64→f32 cast) —
     # s and V keep full f64 accuracy from the Gram path above
-    u = a @ (v * inv[None, :]).astype(np.float32)
-    return u, s.astype(np.float32), v.astype(np.float32)
+    u = a @ (v[:, :cols] * inv[None, :cols]).astype(np.float32)
+    return u, s.astype(np.float32), v[:, :cols].astype(np.float32)
 
 
-def economy_svd(a) -> tuple:
+def economy_svd(a, max_rank: int = None) -> tuple:
     """Exact thin SVD ``a = U diag(s) Vᵀ``; returns numpy ``(U, s, V)``
     with V the right singular vectors as columns (``V[:, i]``).
+
+    ``s`` always carries the full spectrum; with ``max_rank`` only that
+    many U/V columns are materialized (tall-skinny path — the spectrum is
+    free there, the tall mode gemm is not).
 
     Tall-skinny matrices (the S³ snapshot shape: many cells, few snapshots)
     route through the host Gram/snapshot path — f64 ``aᵀa`` + ``eigh`` + one
@@ -119,7 +138,7 @@ def economy_svd(a) -> tuple:
     a = np.asarray(a, dtype=np.float32)
     m, n = a.shape
     if m >= 8 * n and m >= 4096 and m * n * n <= 1e11:
-        return _tall_skinny_svd(a)
+        return _tall_skinny_svd(a, max_rank)
     if m > n:
         m_pad = max(256, 1 << int(m - 1).bit_length())
         if m_pad != m:

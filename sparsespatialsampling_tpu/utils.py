@@ -8,6 +8,7 @@ instead of breaking the package import (flowtorch is a git-branch
 dependency in the reference, ``requirements.txt:5``).
 """
 import logging
+from time import perf_counter
 from typing import Tuple, Union
 
 import numpy as np
@@ -94,16 +95,25 @@ def compute_svd(data_matrix, cell_area, rank: int = None) -> Tuple[np.ndarray, n
             rank = optimal_rank_sketched(s, stacked.shape, fro_sq)
             u, s, v = u[:, :rank], s[:rank], v[:, :rank]
     else:
-        u, s, v = economy_svd(stacked)
+        # an explicit rank bounds the materialized mode/V columns up front
+        # (s still carries the full spectrum for the auto-rank criterion)
+        u, s, v = economy_svd(stacked, max_rank=rank)
         if rank is None:
             rank = optimal_rank(s, stacked.shape)
-        rank = min(rank, s.shape[0])
+        rank = min(rank, u.shape[1])
         u, s, v = u[:, :rank], s[:rank], v[:, :rank]
 
     if data_matrix.ndim == 2:
         return s, u / sqrt_area[:, None], v
     u = u.reshape(field_shape[0], field_shape[1], -1)
     return s, u / sqrt_area[:, None, None], v
+
+
+# sub-phase wall times of the LAST write_svd_s_cube_to_file call (summed
+# over its fields): t_load = HDF5 snapshot/weights reads, t_compute =
+# compute_svd, t_write = mode/grid/XDMF writes.  Observability only — the
+# bench emits these so a slow SVD phase is attributable to disk vs math.
+last_svd_timings = {}
 
 
 def write_svd_s_cube_to_file(field_names: Union[list, str], load_dir: str, file_name: str,
@@ -115,6 +125,8 @@ def write_svd_s_cube_to_file(field_names: Union[list, str], load_dir: str, file_
     if isinstance(field_names, str):
         field_names = [field_names]
 
+    last_svd_timings.clear()
+    last_svd_timings.update({"t_load": 0.0, "t_compute": 0.0, "t_write": 0.0})
     for f in field_names:
         logger.info(f"Performing SVD for field {f}.")
 
@@ -123,9 +135,16 @@ def write_svd_s_cube_to_file(field_names: Union[list, str], load_dir: str, file_
         _write_times = sorted([t for t in dataloader.write_times if float(t) >= t_start],
                               key=lambda x: float(x))
 
-        s, u, v = compute_svd(dataloader.load_snapshot(f, _write_times),
-                              dataloader.weights, rank)
+        _t0 = perf_counter()
+        snapshots = dataloader.load_snapshot(f, _write_times)
+        weights = dataloader.weights
+        _t1 = perf_counter()
+        s, u, v = compute_svd(snapshots, weights, rank)
+        _t2 = perf_counter()
+        last_svd_timings["t_load"] += _t1 - _t0
+        last_svd_timings["t_compute"] += _t2 - _t1
 
+        _t0 = perf_counter()
         datawriter = Datawriter(load_dir, file_name + f"_{f}_svd.h5")
         datawriter.write_grid(dataloader)
 
@@ -146,6 +165,7 @@ def write_svd_s_cube_to_file(field_names: Union[list, str], load_dir: str, file_
         datawriter.write_data("s", group=CONST, data=s)
         datawriter.write_data("cell_area", group=CONST, data=dataloader.weights)
         datawriter.write_xdmf_file()
+        last_svd_timings["t_write"] += perf_counter() - _t0
 
 
 def compute_dmd(data_matrix, cell_area=None, rank: int = None, dt: float = 1.0):

@@ -431,6 +431,60 @@ class TestPackedReadback:
         np.testing.assert_array_equal(out, a)
 
 
+class TestIdxDeltaPack:
+    """Delta-compressed [Q, k] index readback (`_pack_idx_delta`): the
+    export weight cache's dominant transfer rides uint16 row deltas; rows
+    whose spread exceeds uint16 must be flagged and fixed up exactly."""
+
+    def test_pack_unpack_roundtrip_with_overflow(self):
+        import jax.numpy as jnp
+        from sparsespatialsampling_tpu.ops.knn import (
+            _pack_idx_delta, _unpack_idx_delta)
+        rng = np.random.default_rng(5)
+        for k in (7, 26):  # odd k exercises the pad lane
+            base = rng.integers(0, 1_000_000, size=64).astype(np.int64)
+            idx = (base[:, None]
+                   + rng.integers(0, 60_000, size=(64, k))).astype(np.int32)
+            idx[3] = [10_000_000 + 70_000 * j for j in range(k)]  # overflow
+            ok = np.ones(64, dtype=bool)
+            ok[7] = False
+            rows = np.asarray(_pack_idx_delta(jnp.asarray(idx),
+                                              jnp.asarray(ok)))
+            got, got_ok, fits = _unpack_idx_delta(rows, k)
+            np.testing.assert_array_equal(got_ok, ok)
+            assert not fits[3] and fits[:3].all() and fits[4:].all()
+            np.testing.assert_array_equal(got[fits], idx[fits])
+
+    def test_grid_query_idx_exact_across_uint16_seams(self):
+        """131k-point cloud produces real uint16-overflow rows (verified to
+        hit the fixup gather); grid query_idx must still be exact."""
+        from sparsespatialsampling_tpu.ops import knn as K
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(size=(131_072, 3))
+        q = rng.uniform(size=(2048, 3))
+        obj = K.KNNIndex(pts)
+        counts = {"mis": 0}
+        orig = K._unpack_idx_delta
+
+        def spy(rows, k):
+            idx, ok, fits = orig(rows, k)
+            counts["mis"] += int((ok & ~fits).sum())
+            return idx, ok, fits
+
+        K._unpack_idx_delta = spy
+        try:
+            w, idx = obj.weights(q, 26)
+        finally:
+            K._unpack_idx_delta = orig
+        assert counts["mis"] > 0, "config no longer exercises the fixup"
+        sub = np.random.default_rng(2).choice(2048, 40, replace=False)
+        d = ((q[sub, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        ref = np.argsort(d, axis=1, kind="stable")[:, :26]
+        for i, s in enumerate(sub):
+            assert set(idx[s]) == set(ref[i])
+        np.testing.assert_allclose(w.sum(1), 1.0, atol=1e-5)
+
+
 class TestCachedJit:
     """Process-global executable sharing (`_backend.cached_jit`) — wrong
     cache keys would silently evaluate one geometry's mask with another's

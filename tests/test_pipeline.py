@@ -381,6 +381,12 @@ class TestSVD:
             assert "s" in f["constant"]
             assert "V" in f["constant"]
             assert "cell_area" in f["constant"]
+        # observability contract: the call leaves its sub-phase wall times
+        # (HDF5 load / compute / write) for the bench to report
+        from sparsespatialsampling_tpu.utils import last_svd_timings
+        assert set(last_svd_timings) == {"t_load", "t_compute", "t_write"}
+        assert all(v >= 0.0 for v in last_svd_timings.values())
+        assert last_svd_timings["t_compute"] > 0.0
 
 
 class TestPreSelect:
