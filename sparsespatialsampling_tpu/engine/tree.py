@@ -821,7 +821,7 @@ class SamplingTree:
                              qbad, sq, vals)
 
         def fn_grid_dil(coords, level, lo, width, gain0, dirs, offsets,
-                        shift, dil_pts, dil_cand, dil_ovf, values,
+                        shift, dil_pts, dil_cand, dil_ovf, dil_vals, values,
                         cell_pts, cell_list, overflow, origin,
                         inv_h, dims):
             """Dilated layout: one gather slice per query (~4x the effective
@@ -848,10 +848,15 @@ class SamplingTree:
             invalid = geometry_invalid(coords, level, lo, width, offsets)
             # _dilated_topk emits canonical ascending (sq, idx) order via
             # the sorted-rows layout — no slack widening or re-sort
-            sq, idx, _, ok, flat = _dilated_topk(
+            sq, _, sel, ok, flat = _dilated_topk(
                 qflat, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims, k,
                 sorted_rows=True)
-            vals = values[idx]        # pointwise: [Q, k] 4-byte lookups
+            # ONE pointwise [Q, k] lookup from the sorted dilated value rows
+            # replaces the serial (candidate-id, then value-at-id) gather
+            # pair — dil_vals[r, j] == values[dil_cand[r, j]] by
+            # construction, so the IDW result is bitwise unchanged (and the
+            # dead candidate-id gather is DCE'd out of this kernel)
+            vals = dil_vals[flat[:, None], sel]
             # invalid cells are removed regardless — never rescue their
             # queries (mirrors the host retry policy)
             badq = ~ok & ~jnp.repeat(invalid, n_children)
@@ -974,12 +979,12 @@ class SamplingTree:
             g = knn._grid
             # engine values (the metric) are scalar; guard anyway in case a
             # caller re-attached multichannel values to the shared index
-            if "dil_pts" in g and knn._values.ndim == 1:
+            if "dil_vals" in g and knn._values.ndim == 1:
                 jit_grid = cached_jit(("epoch_dil",) + ekey,
                                       lambda: jax.jit(fn_grid_dil))
                 grid_args = common + (g["dil_pts"], g["dil_cand"],
-                                      g["dil_ovf"], knn._values,
-                                      g["cell_pts"],
+                                      g["dil_ovf"], g["dil_vals"],
+                                      knn._values, g["cell_pts"],
                                       g["cell_list"], g["overflow"],
                                       g["origin"], g["inv_h"], g["dims"])
                 # traced core + args for the device-resident adaptive loop
@@ -1000,11 +1005,13 @@ class SamplingTree:
             self._epoch_fn_ring = lambda c, l: jit_ring(c, l, *ring_args)
             nnb, C = 3 ** d, g["C"]
             # per padded query: one dilated/blocked coordinate row, the
-            # pointwise [k] candidate-id + value lookups, the per-neighbor
-            # overflow flags, and the score-stage FLOPs — BOTH grid layouts
-            # score by the plain VPU delta-sum (2 FLOPs/MAC convention,
-            # matching the full-scan path)
-            self._epoch_query_cost = (nnb * C * d * 4.0 + 8.0 * k + nnb,
+            # pointwise [k] value lookups (the dilated path's single fused
+            # lookup vs the blocked path's candidate-id + value pair), the
+            # per-neighbor overflow flags, and the score-stage FLOPs — BOTH
+            # grid layouts score by the plain VPU delta-sum (2 FLOPs/MAC
+            # convention, matching the full-scan path)
+            ptwise = 4.0 * k if "dil_vals" in g else 8.0 * k
+            self._epoch_query_cost = (nnb * C * d * 4.0 + ptwise + nnb,
                                       2.0 * nnb * C * d)
         else:
             self._epoch_fn = self._epoch_fn_full

@@ -427,6 +427,23 @@ def _sort_dilated(dil_pts, dil_cand, d):
 
 
 @jax.jit
+def _dil_vals_device(cell_vals, cell_list, nb):
+    """Dilated scalar-value rows aligned with the SORTED ``dil_cand`` layout.
+
+    Re-runs the same stable sort keys as :func:`_sort_dilated` (ascending
+    candidate index), so slot ``j`` of row ``i`` holds the value of
+    ``dil_cand[i, j]`` exactly — the fused epoch then gathers its selected
+    neighbor values with ONE pointwise ``[Q, k]`` lookup from these rows
+    instead of the serial pair (candidate-id lookup, then value lookup at
+    its result), each ~5 ms per 36.8k queries on the v5e."""
+    vals_u = cell_vals[nb].reshape(nb.shape[0], -1)
+    cand_u = cell_list[nb].reshape(nb.shape[0], -1)
+    out = jax.lax.sort((cand_u, vals_u), dimension=1, num_keys=1,
+                       is_stable=True)
+    return out[1]
+
+
+@jax.jit
 def _dilate_flags(flags, nb):
     """Per-neighbor flags ``[n, 3^d]`` (NOT reduced — the precise overflow
     verdict needs to know WHICH neighborhood cell overflowed)."""
@@ -547,16 +564,17 @@ def _grid_predict_kernel_dil(queries, dil_pts, dil_cand, dil_ovf, values,
 
 def _plan_grid(points: np.ndarray, n_points: int, pad_idx: int,
                occupancy: int, capacity: int,
-               host_arrays: bool = True) -> dict:
+               host_arrays: bool = True, shrink_target: int = 32) -> dict:
     """Host-side bucket-grid plan over a (centered) point cloud.
 
     Chooses the cell size ``h`` (≈ (occupancy/density)^(1/d), grown to a
-    ~8·N storage cap, then shrunk until no cell exceeds 32 members when the
-    budget allows — overflow cells sit exactly where refinement clusters and
-    force exact fallbacks every iteration), then builds the blocked member
-    layout.  Returns numpy arrays only; callers device-put them with
-    whatever sharding fits (single chip: replicated; multi-chip: cell rows
-    sharded over the mesh).  Member indices reference ``points``' row order.
+    ~8·N storage cap, then shrunk until no cell exceeds ``shrink_target``
+    members when the budget allows — overflow cells sit exactly where
+    refinement clusters and force exact fallbacks every iteration), then
+    builds the blocked member layout.  Returns numpy arrays only; callers
+    device-put them with whatever sharding fits (single chip: replicated;
+    multi-chip: cell rows sharded over the mesh).  Member indices reference
+    ``points``' row order.
     """
     d = points.shape[1]
     lo = points.min(axis=0)
@@ -575,16 +593,21 @@ def _plan_grid(points: np.ndarray, n_points: int, pad_idx: int,
         counts_v = np.bincount(flat_v, minlength=int(np.prod(dims_v)))
         return dims_v, flat_v, counts_v
 
+    # storage bound on the REALIZED capacity target (cells beyond it
+    # overflow): the shrink loop trades more cells for a narrower candidate
+    # width, both hot kernel stages scale with 3^d·C
+    store_c = min(capacity, 2 * shrink_target)
+
     def storage_ok(h_val):
         dims_v = np.maximum(np.ceil(extent / h_val).astype(np.int64), 1)
-        return np.prod(dims_v) * capacity <= 8 * n_points + 4096
+        return np.prod(dims_v) * store_c <= 8 * n_points + 4096
 
     # cap the total cell count at ~4 points of storage per point
     while not storage_ok(h):
         h *= 1.26
     dims, flat, counts = build_cells(h)
-    for _ in range(6):
-        if counts.max() <= 32 or not storage_ok(h / 1.15):
+    for _ in range(8):
+        if counts.max() <= shrink_target or not storage_ok(h / 1.15):
             break
         h /= 1.15
         dims, flat, counts = build_cells(h)
@@ -733,6 +756,11 @@ class KNNIndex:
     # realized capacity overflow → their queries fall back to the exact
     # full scan, so a tight capacity costs only fallback frequency
     GRID_CAPACITY = 64
+    # shrink the cell size until no cell holds more than this many members
+    # (subject to the storage cap): both hot kernel stages scale with the
+    # 3^d·C candidate width, and overflow-free sizing keeps the exact
+    # fallback off the hot path
+    GRID_SHRINK_TARGET = 32
     # queries per grid dispatch: bounds the blocked-gather temporary
     # [Q, 3^d, C, d] (~2.7x tiling expansion) to ~2 GB on a 16 GB v5e while
     # keeping the number of host→device round trips per query batch small;
@@ -799,7 +827,8 @@ class KNNIndex:
         out-of-bbox queries)."""
         plan = _plan_grid(sorted_pts, self.n_points, self._pad_idx,
                           self.GRID_OCCUPANCY, self.GRID_CAPACITY,
-                          host_arrays=False)
+                          host_arrays=False,
+                          shrink_target=self.GRID_SHRINK_TARGET)
         C = plan["C"]
         n_rows = plan["n_cells"] + 1
         # upload the fill triplet once (padded to a pow2 bucket with
@@ -842,7 +871,9 @@ class KNNIndex:
         d = self.n_dim
         C = plan["C"]
         n_cells = plan["n_cells"]
-        dil_bytes = (n_cells + 1) * (3 ** d) * C * (d + 2) * 4
+        # d coord lanes + candidate ids + overflow flags + (set_values)
+        # the scalar dilated value rows
+        dil_bytes = (n_cells + 1) * (3 ** d) * C * (d + 3) * 4
         if dil_bytes <= 1.5e9:
             nb_dev = _neighbor_table_jit(
                 tuple(int(x) for x in plan["dims"]), n_cells, d)
@@ -888,6 +919,15 @@ class KNNIndex:
             n_rows, C = self._grid["cell_list"].shape
             self._grid["cell_vals"] = _cell_vals_device(
                 cells, pos, order, self._values, n_rows, C)
+            self._grid.pop("dil_vals", None)
+            if "dil_cand" in self._grid and values.ndim == 1:
+                # scalar values on the dilated layout additionally get the
+                # sorted dilated value rows (see _dil_vals_device); pad
+                # cell_vals slots are 0 but only appear in rows whose
+                # exactness margin already failed
+                self._grid["dil_vals"] = _dil_vals_device(
+                    self._grid["cell_vals"], self._grid["cell_list"],
+                    self._grid["_nb"])
 
     def _run_chunked(self, kernel_args_fn, queries):
         """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows.
