@@ -28,6 +28,12 @@ from .base import GeometryObject
 logger = logging.getLogger(__name__)
 
 _POINT_CHUNK = 4096  # query points per device batch (bounds [chunk, T] memory)
+# near-band sweep granularity of the sign-grid mask: each exact sweep costs
+# O(chunk · T), and typical epochs have only a few thousand near-band
+# corners — 1024 measured ~2.2x faster than 4096 on a surface-clustered
+# 16.4k-corner batch at the 51k-triangle bench scale (121 -> 55 ms);
+# below 1024 the per-chunk fixed costs win back the difference
+_MASK_CHUNK = 1024
 
 
 def read_stl(path: str) -> np.ndarray:
@@ -477,6 +483,80 @@ def build_sign_grid(triangles: np.ndarray) -> dict:
             break
         state3[adopt] = best[adopt]
 
+    # ---- fine level: AABB-rasterized occupancy shrinks the near band ----
+    # The coarse band is (occupied ∪ 1-ring) at h ≥ 2·r_max — physically
+    # ~4h thick, and surface refinement clusters most epoch corners inside
+    # it, each paying the exact O(T) winding sweep.  A finer grid whose
+    # occupancy marks every voxel a triangle's AABB touches needs NO
+    # dilation (the surface lies inside the union of triangle AABBs, so a
+    # face shared by two free voxels is provably not crossed), so the band
+    # thins to ~(max triangle extent + h_f).  Signs come free: any fine
+    # voxel whose center lies in a DECIDED coarse voxel inherits that
+    # proven sign; the rest (free fine voxels under the coarse band) flood-
+    # fill from them.  Measured on the 51k-triangle bench sphere this cuts
+    # near-band epoch corners ~5x and the per-epoch geometry wall ~3x.
+    tri_lo = tris.min(axis=1)
+    tri_hi = tris.max(axis=1)
+    max_ext = float((tri_hi - tri_lo).max())
+    h_f = max(float(extent.max()) / 124.0, max_ext / 6.0, 1e-12)
+    while np.prod(np.ceil(extent / h_f).astype(np.int64) + 3) > _SG_MAX_VOX:
+        h_f *= 1.26
+    if h_f < 0.5 * h:  # only pays when meaningfully finer than the coarse grid
+        dims_f = np.ceil(extent / h_f).astype(np.int64) + 3
+        origin_f = lo_c - h_f
+        lo_v = np.clip(np.floor((tri_lo - origin_f) / h_f).astype(np.int64),
+                       0, dims_f - 1)
+        hi_v = np.clip(np.floor((tri_hi - origin_f) / h_f).astype(np.int64),
+                       0, dims_f - 1)
+        span = hi_v - lo_v
+        occ_f = np.zeros(tuple(dims_f), dtype=bool)
+        smax = span.max(axis=0)
+        for dx in range(int(smax[0]) + 1):
+            mx = span[:, 0] >= dx
+            for dy in range(int(smax[1]) + 1):
+                mxy = mx & (span[:, 1] >= dy)
+                for dz in range(int(smax[2]) + 1):
+                    m = mxy & (span[:, 2] >= dz)
+                    if m.any():
+                        occ_f[lo_v[m, 0] + dx, lo_v[m, 1] + dy,
+                              lo_v[m, 2] + dz] = True
+
+        # inherit decided coarse signs at each fine voxel center
+        def axis_map(n_f, ax):
+            c = origin_f[ax] + (np.arange(n_f) + 0.5) * h_f
+            return np.clip(np.floor((c - origin[ax]) / h).astype(np.int64),
+                           0, dims[ax] - 1)
+        ix, iy, iz = (axis_map(dims_f[0], 0), axis_map(dims_f[1], 1),
+                      axis_map(dims_f[2], 2))
+        state_f = state3[ix[:, None, None], iy[None, :, None],
+                         iz[None, None, :]].copy()
+        state_f[occ_f] = 2
+
+        # fine flood fill of free voxels still unknown (under the coarse
+        # band) — same conflict-free min-propagation as the coarse fill
+        free_f = ~occ_f
+        for _ in range(64):
+            unknown = free_f & (state_f == 2)
+            if not unknown.any():
+                break
+            best = np.full(tuple(dims_f), 2, dtype=np.int8)
+            for ax in range(3):
+                sl_lo = [slice(None)] * 3
+                sl_hi = [slice(None)] * 3
+                sl_lo[ax] = slice(1, None)
+                sl_hi[ax] = slice(None, -1)
+                np.minimum(best[tuple(sl_lo)], state_f[tuple(sl_hi)],
+                           out=best[tuple(sl_lo)])
+                np.minimum(best[tuple(sl_hi)], state_f[tuple(sl_lo)],
+                           out=best[tuple(sl_hi)])
+            adopt = unknown & (best < 2)
+            if not adopt.any():
+                break
+            state_f[adopt] = best[adopt]
+
+        state3, origin, h, dims = state_f, origin_f, h_f, dims_f
+        n_vox = int(np.prod(dims))
+
     n_near = int((state3 == 2).sum())
     return {"state": jnp.asarray(state3.ravel()),
             "origin": jnp.asarray(origin, dtype=jnp.float32),
@@ -601,7 +681,7 @@ class GeometrySTL3D(GeometryObject):
             f"{self._sg['n_near_vox']}/{self._sg['n_vox']} voxels need "
             f"exact winding evaluation.")
         use_fw = self._fw is not None
-        self._mask_chunk = _FW_CHUNK if use_fw else _POINT_CHUNK
+        self._mask_chunk = _FW_CHUNK if use_fw else _MASK_CHUNK
         if use_fw:
             fw = self._fw
             self._exact_args = (fw["cell_tris"], fw["v0"], fw["v1"],
