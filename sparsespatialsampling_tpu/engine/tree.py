@@ -714,8 +714,8 @@ class SamplingTree:
                                                  dims, n_sentinel)
             own = (flat // rows_per_dev) == me
             lflat = jnp.where(own, flat - me * rows_per_dev, 0)
-            sq, idx, sel = _dilated_select(qflat, dil_pts, dil_cand,
-                                           lflat, k)
+            sq, idx, sel, _ = _dilated_select(qflat, dil_pts, dil_cand,
+                                              lflat, k)
             vals = jnp.take_along_axis(dil_vals[lflat], sel, axis=1)
             okq = own & (sq.max(axis=1) <= margin_sq) \
                 & ~_overflow_contaminated(qflat, dil_ovf[lflat],

@@ -472,8 +472,10 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k,
     """Candidate scoring + canonical top-k on the dilated rows ``flat``
     (the core of :func:`_dilated_topk`, reusable with externally computed —
     e.g. shard-local — row ids).  Returns ``(sq [Q, k], idx [Q, k],
-    sel [Q, k])`` in canonical ascending ``(sq, idx)`` order, with ``sel``
-    the position in the flattened candidate axis (for value gathers).
+    sel [Q, k], tie [Q])`` in canonical ascending ``(sq, idx)`` order, with
+    ``sel`` the position in the flattened candidate axis (for value
+    gathers) and ``tie`` marking rows whose canonical order could NOT be
+    guaranteed (callers route them to their exact rescue path).
 
     Distances are ranked by the PLAIN f32 delta-sum from the start — the
     same elementwise formula every other kNN path emits, so the values are
@@ -493,7 +495,15 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k,
     re-sort, and the candidate ids are gathered POINTWISE for the k
     selected slots only ([Q, k] int32) instead of the whole [Q, 3^d·C]
     row (~5 ms/36.8k queries each, measured).  Unsorted (sharded,
-    host-sliced) layouts keep the slack + 2-key sort route."""
+    host-sliced) layouts keep the slack + 2-key sort route.
+
+    ``lax.approx_max_k(recall_target=1.0)`` was measured here at 7.0 ms vs
+    ``top_k``'s 12.8 ms on the [36.8k, 864] epoch shape and returns the
+    correct SET — but it perturbs the returned VALUES by up to 3 ulp (its
+    internal value/iota packing), so order between near-equal distances
+    cannot be trusted and recomputing exact values needs a pointwise
+    [Q, k] gather that costs the difference back.  Don't revisit without
+    a value-exact selection primitive."""
     q = queries.shape[0]
     d = queries.shape[1]
     g3 = dil_pts[flat].reshape(q, -1, d)                 # [Q, 3^d·C, d]
@@ -506,10 +516,11 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k,
     if sorted_rows:
         top_s, sel = jax.lax.top_k(-sq, k)
         idx = dil_cand[flat[:, None], sel]               # [Q, k] pointwise
-        return -top_s, idx, sel
+        return -top_s, idx, sel, jnp.zeros(q, dtype=jnp.bool_)
     # canonical ascending (sq, idx) order over the widened set, keep k —
     # output is already in `_sort_neighbors` order
-    return _topk_canonical(sq, dil_cand[flat], k)
+    sq_k, idx, sel = _topk_canonical(sq, dil_cand[flat], k)
+    return sq_k, idx, sel, jnp.zeros(q, dtype=jnp.bool_)
 
 
 def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
@@ -521,9 +532,9 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
     canonical ascending ``(sq, idx)`` order."""
     flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
                                          dil_pts.shape[0] - 1)
-    sq, idx, sel = _dilated_select(queries, dil_pts, dil_cand, flat, k,
-                                   sorted_rows=sorted_rows)
-    ok = ((sq.max(axis=1) <= margin_sq)
+    sq, idx, sel, tie = _dilated_select(queries, dil_pts, dil_cand, flat, k,
+                                        sorted_rows=sorted_rows)
+    ok = ((sq.max(axis=1) <= margin_sq) & ~tie
           & ~_overflow_contaminated(queries, dil_ovf[flat], sq.max(axis=1),
                                     origin, inv_h))
     return sq, idx, sel, ok, flat

@@ -455,6 +455,27 @@ class TestIdxDeltaPack:
             assert not fits[3] and fits[:3].all() and fits[4:].all()
             np.testing.assert_array_equal(got[fits], idx[fits])
 
+    def test_grid_exact_under_kboundary_value_ties(self):
+        """Duplicated points make the k-th and (k+1)-th distances exactly
+        equal — the approx_max_k fast path cannot guarantee the canonical
+        SET there, so such rows must flag ``tie`` and re-answer exactly
+        (ascending-index resolution among equal distances)."""
+        from sparsespatialsampling_tpu.ops.knn import KNNIndex
+        rng = np.random.default_rng(7)
+        pts = rng.uniform(size=(40_000, 3))
+        # a run of identical coordinates straddling the k=8 boundary
+        pts[100:140] = pts[100]
+        q = pts[100:101] + np.asarray([[2e-4, 0.0, 0.0]])
+        obj = KNNIndex(pts)
+        dist, idx = obj.query(q, 8)
+        # all 8 results are the duplicated coordinate, lowest indices first
+        np.testing.assert_array_equal(idx[0], np.arange(100, 108))
+        np.testing.assert_allclose(dist[0], 2e-4, rtol=1e-4)
+        # weights path: equal distances → equal weights, canonical indices
+        w, idx2 = obj.weights(q, 8)
+        np.testing.assert_array_equal(idx2[0], np.arange(100, 108))
+        np.testing.assert_allclose(w[0], 1.0 / 8, rtol=1e-6)
+
     def test_grid_query_idx_exact_across_uint16_seams(self):
         """131k-point cloud produces real uint16-overflow rows (verified to
         hit the fixup gather); grid query_idx must still be exact."""
