@@ -488,22 +488,25 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k,
     win.)
 
     With ``sorted_rows=True`` (single-chip layout, rows pre-sorted by
-    candidate index in :func:`_sort_dilated`) ``lax.top_k``'s documented
-    stability — equal values keep ascending position — makes slot order
-    EQUAL ascending-candidate-index order, so the canonical k-boundary tie
-    resolution falls out of one plain ``top_k(k)``: no +8 slack, no 2-key
-    re-sort, and the candidate ids are gathered POINTWISE for the k
-    selected slots only ([Q, k] int32) instead of the whole [Q, 3^d·C]
-    row (~5 ms/36.8k queries each, measured).  Unsorted (sharded,
-    host-sliced) layouts keep the slack + 2-key sort route.
+    candidate index in :func:`_sort_dilated`) first-minimum selection —
+    equal values resolve to the lowest slot — makes slot order EQUAL
+    ascending-candidate-index order, so the canonical k-boundary tie
+    resolution falls out directly: no +8 slack, no 2-key re-sort, and the
+    candidate ids are gathered POINTWISE for the k selected slots only
+    ([Q, k] int32) instead of the whole [Q, 3^d·C] row (~5 ms/36.8k
+    queries each, measured).  On TPU the selection runs through the Pallas
+    iterative min-extraction kernel (:mod:`.pallas_topk`, bit-exact values,
+    ~6.6 ms vs ``lax.top_k``'s 12.8 ms at the [36.8k, 864] epoch shape);
+    elsewhere ``lax.top_k``'s documented stability implements the identical
+    semantics.  Unsorted (sharded, host-sliced) layouts keep the slack +
+    2-key sort route.
 
     ``lax.approx_max_k(recall_target=1.0)`` was measured here at 7.0 ms vs
     ``top_k``'s 12.8 ms on the [36.8k, 864] epoch shape and returns the
     correct SET — but it perturbs the returned VALUES by up to 3 ulp (its
     internal value/iota packing), so order between near-equal distances
     cannot be trusted and recomputing exact values needs a pointwise
-    [Q, k] gather that costs the difference back.  Don't revisit without
-    a value-exact selection primitive."""
+    [Q, k] gather that costs the difference back."""
     q = queries.shape[0]
     d = queries.shape[1]
     g3 = dil_pts[flat].reshape(q, -1, d)                 # [Q, 3^d·C, d]
@@ -514,9 +517,14 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k,
     # query counts — the fused form measured 4.4x slower at 4096 queries
     sq = jax.lax.optimization_barrier(sq)
     if sorted_rows:
-        top_s, sel = jax.lax.top_k(-sq, k)
+        if jax.default_backend() == "tpu" and q % 8 == 0:
+            from .pallas_topk import topk_smallest
+            sq_k, sel = topk_smallest(sq, k)
+        else:
+            top_s, sel = jax.lax.top_k(-sq, k)
+            sq_k = -top_s
         idx = dil_cand[flat[:, None], sel]               # [Q, k] pointwise
-        return -top_s, idx, sel, jnp.zeros(q, dtype=jnp.bool_)
+        return sq_k, idx, sel, jnp.zeros(q, dtype=jnp.bool_)
     # canonical ascending (sq, idx) order over the widened set, keep k —
     # output is already in `_sort_neighbors` order
     sq_k, idx, sel = _topk_canonical(sq, dil_cand[flat], k)

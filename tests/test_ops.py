@@ -431,6 +431,26 @@ class TestPackedReadback:
         np.testing.assert_array_equal(out, a)
 
 
+class TestPallasTopK:
+    def test_matches_lax_topk_with_ties(self):
+        """The TPU selection kernel must implement lax.top_k(-x) semantics
+        exactly: ascending values, first-occurrence (lowest-slot) ties —
+        the canonical order contract of the sorted dilated rows.  Runs in
+        the Pallas interpreter on CPU."""
+        import jax
+        import jax.numpy as jnp
+        from sparsespatialsampling_tpu.ops.pallas_topk import topk_smallest
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(96, 160)).astype(np.float32)
+        x[3, 10] = x[3, 50] = x[3, 5]    # in-set ties
+        x[7, :] = 1.0                     # whole-row tie
+        x[11, 100:] = np.inf              # padded candidates
+        vals, sel = topk_smallest(jnp.asarray(x), 9, interpret=True)
+        tv, ts = jax.lax.top_k(-jnp.asarray(x), 9)
+        np.testing.assert_array_equal(np.asarray(vals), -np.asarray(tv))
+        np.testing.assert_array_equal(np.asarray(sel), np.asarray(ts))
+
+
 class TestIdxDeltaPack:
     """Delta-compressed [Q, k] index readback (`_pack_idx_delta`): the
     export weight cache's dominant transfer rides uint16 row deltas; rows
