@@ -72,21 +72,25 @@ def _corner_nodes_f32(coords, level, lo, width, offsets):
                   + offsets[None, :, :]) * h[:, None, None])
 
 
-@partial(jax.jit, static_argnums=(6,))
-def _pack_loop_window(coords, level, gain, metric, bad, n0, win):
-    """Pack the device-loop's changed-row window into ONE int32 buffer
-    ``[win, d+4]``: coords | level | bitcast(gain) | bitcast(metric) | bad.
-    A single transfer replaces six per-array readbacks, each of which pays
-    a full tunnel round trip. Floats travel as raw bits (int32 lanes are
-    never denormal-flushed)."""
+@partial(jax.jit, static_argnums=(3,))
+def _pack_gm(gain, metric, s0, win):
+    """Bitcast-pack rows ``[s0, s0+win)`` of the device-loop's gain and
+    metric arrays into one int32 buffer ``[win, 2]`` for the LAZY host sync:
+    the loop readback no longer ships per-row floats at all, so host code
+    that genuinely needs them (a host-path iteration's selection, a retry
+    escalation, the deep-level regime) fetches this window once."""
     sl = partial(jax.lax.dynamic_slice_in_dim,
-                 start_index=n0, slice_size=win, axis=0)
-    return jnp.concatenate([
-        sl(coords),
-        sl(level)[:, None],
-        jax.lax.bitcast_convert_type(sl(gain), jnp.int32)[:, None],
-        jax.lax.bitcast_convert_type(sl(metric), jnp.int32)[:, None],
-        sl(bad).astype(jnp.int32)[:, None]], axis=1)
+                 start_index=s0, slice_size=win, axis=0)
+    return jnp.stack([
+        jax.lax.bitcast_convert_type(sl(gain), jnp.int32),
+        jax.lax.bitcast_convert_type(sl(metric), jnp.int32)], axis=1)
+
+
+@jax.jit
+def _captured_reduce(alive, metric):
+    """``‖metric[alive]‖₂`` on device — the cells-mode final captured
+    metric costs one scalar readback instead of a gain/metric row sync."""
+    return jnp.sqrt(jnp.sum(jnp.where(alive, metric * metric, 0.0)))
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -109,25 +113,42 @@ def _unpack_loop_state(buf, cap):
     return coords, level, alive, gain, metric
 
 
+def _bitpack(flags):
+    """bool ``[n]`` → little-endian uint32 words ``[ceil(n/32)]``."""
+    pad = (-flags.shape[0]) % 32
+    a = jnp.concatenate([flags, jnp.zeros(pad, dtype=flags.dtype)])
+    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
+    return (a.reshape(-1, 32).astype(jnp.uint32) * weights).sum(
+        axis=1, dtype=jnp.uint32)
+
+
 @jax.jit
-def _pack_loop_result(it, fill, maxlev, cpi, cpi_last, ms, ns, alive):
-    """Pack the device loop's scalar results, per-iteration series and the
-    FULL alive bitmap into one int32 vector, so the post-loop sync costs one
-    tunnel round trip instead of five.  Bit layout (little-endian words):
-    ``[it, fill, maxlev, cpi, cpi_last.bits, ms.bits…, ns…, alive bits…]``."""
+def _pack_loop_result(it, fill, maxlev, cpi, cpi_last, ms, ns, alive, bad,
+                      psel):
+    """Pack the device loop's scalar results, per-iteration series, the
+    FULL alive/bad bitmaps and the per-iteration parent-selection history
+    into one int32 vector, so the post-loop sync costs ONE tunnel round
+    trip.  Bit layout (little-endian words): ``[it, fill, maxlev, cpi,
+    cpi_last.bits, ms.bits…, ns…, alive bits…, bad bits…, psel…]``.
+
+    ``psel`` (each iteration's selected parent rows, in append order,
+    sentinel-padded) lets the host REPLAY the splits to reconstruct the new
+    rows' coords/levels with integer arithmetic — the whole per-row window
+    (coords | level | gain | metric | bad ≈ 28 B/row, ~4 MB on the
+    cylinder3D workload) never crosses the tunnel; the bitmaps + history
+    are ~6 % of it.  gain/metric stay device-resident and sync lazily
+    (see ``_ensure_gain_metric``)."""
     head = jnp.concatenate([
         jnp.stack([it, fill, maxlev, cpi]).astype(jnp.int32),
         jax.lax.bitcast_convert_type(cpi_last.astype(jnp.float32),
                                      jnp.int32)[None],
         jax.lax.bitcast_convert_type(ms.astype(jnp.float32), jnp.int32),
         ns.astype(jnp.int32)])
-    pad = (-alive.shape[0]) % 32
-    a = jnp.concatenate([alive, jnp.zeros(pad, dtype=alive.dtype)])
-    weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
-    bits = (a.reshape(-1, 32).astype(jnp.uint32) * weights).sum(
-        axis=1, dtype=jnp.uint32)
-    return jnp.concatenate([head,
-                            jax.lax.bitcast_convert_type(bits, jnp.int32)])
+    return jnp.concatenate([
+        head,
+        jax.lax.bitcast_convert_type(_bitpack(alive), jnp.int32),
+        jax.lax.bitcast_convert_type(_bitpack(bad), jnp.int32),
+        psel.reshape(-1).astype(jnp.int32)])
 
 
 # Max cells per fused-epoch device call, per dimensionality. Each cell
@@ -423,6 +444,9 @@ class SamplingTree:
         self._dil_core = None           # device-loop epoch core (dil path)
         self._dil_core_args = None
         self._device_loops = {}         # (cap, k_max) -> jitted loop fn
+        self._dev_state = None          # post-loop device arrays (re-entry)
+        self._gm_stale = None           # (s0, s1) host gain/metric rows
+        self._gm_src = None             # device (gain, metric, alive) source
 
         # flat cell arrays (append-only; index == creation order == tie-break)
         self._cap = 4096
@@ -1374,6 +1398,7 @@ class SamplingTree:
         """Exact top-k leaves by ``(gain desc, creation index asc)`` — the
         reference's ``heapq.nlargest(..., key=(gain, -idx))`` tie-break
         (``s_cube.py:599-602``) without the O(N log N) heap."""
+        self._ensure_gain_metric()   # gains may be device-resident (loop)
         alive = self._alive_idx()
         if k >= alive.size:
             return alive
@@ -1631,6 +1656,11 @@ class SamplingTree:
                 # ``iters_cap`` — out of bounds, dropped by XLA's scatter
                 # OOB rule — and keeps every running scalar
                 it_w = jnp.where(guard, iters_cap, s["it"])
+                # selection history for the host-side split replay:
+                # ``parents`` is already in append order with sentinel
+                # ``cap`` in the invalid slots
+                s3["psel"] = s["psel"].at[it_w].set(
+                    parents.astype(jnp.int32))
                 if metric_mode:
                     ratio = jnp.sqrt(jnp.sum(jnp.where(
                         alive[:cap], metric[:cap] ** 2, 0.0))) \
@@ -1688,10 +1718,16 @@ class SamplingTree:
         # deep-level pre-check (heuristic; the in-loop guard is
         # authoritative): avoid paying a full state upload for a call that
         # would guard-exit immediately because the current selection sits
-        # at the float64 deep-level regime
-        sel = self._select_top_k(min(self._cells_per_iter, self._n_cells))
-        if sel.size and int(self._level[sel].max()) + 1 > self._DEVICE_LEVEL_CAP:
-            return 0
+        # at the float64 deep-level regime.  Gated on the tree's max level
+        # so the common shallow case skips the selection entirely (an
+        # argpartition over every cell per call, and — with the lazy
+        # gain/metric sync — a device fetch it would otherwise force).
+        if self._current_max_level + 1 > self._DEVICE_LEVEL_CAP:
+            sel = self._select_top_k(
+                min(self._cells_per_iter, self._n_cells))
+            if (sel.size and int(self._level[sel].max()) + 1
+                    > self._DEVICE_LEVEL_CAP):
+                return 0
         need = self._n_cells + self._DEVICE_LOOP_ITERS * k_max * n_ch + 1
         cap = max(4096, 1 << (need - 1).bit_length())
         fn = self._build_device_loop(cap, k_max)
@@ -1732,7 +1768,10 @@ class SamplingTree:
         else:
             # ONE packed upload of the real rows only; the device
             # zero-extends to capacity (the cap's growth headroom never
-            # holds host data, so shipping it was pure wire waste)
+            # holds host data, so shipping it was pure wire waste).  The
+            # upload ships host gain/metric, so a pending lazy sync must
+            # land first (stale host rows would poison the device state).
+            self._ensure_gain_metric()
             n0p = _bucket(max(n0, 1), minimum=1024)
             buf = np.zeros((n0p, d + 4), dtype=np.int32)
             buf[:n0, :d] = self._coords[:n0]
@@ -1749,6 +1788,8 @@ class SamplingTree:
             "alive": alive_d, "gain": gain_d,
             "metric": metric_d,
             "bad": jnp.zeros(cap + 1, dtype=jnp.bool_),
+            "psel": jnp.full((self._DEVICE_LOOP_ITERS, k_max), cap,
+                             dtype=jnp.int32),
             "ms": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.float32),
             "ns": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.int32),
             "fill": jnp.int32(n0), "it": jnp.int32(0),
@@ -1779,40 +1820,50 @@ class SamplingTree:
         out = fn(state, params, *self._dil_core_args)
         st["t_dispatch_s"] += time() - t0
         t_rb = time()
-        # one packed transfer for ALL scalars, the per-iteration series AND
-        # the alive bitmap (each separate np.asarray pays a full tunnel
-        # round trip)
+        # ONE packed transfer for ALL scalars, the per-iteration series,
+        # the alive/bad bitmaps and the parent-selection history — the
+        # per-row state (coords/level/gain/metric) never crosses the
+        # tunnel: coords/level are REPLAYED from the selection history
+        # below, gain/metric stay device-resident and sync lazily
         iters = self._DEVICE_LOOP_ITERS
         res = np.asarray(_pack_loop_result(
             out["it"], out["fill"], out["maxlev"], out["cpi"],
-            out["cpi_last"], out["ms"], out["ns"], out["alive"]))
+            out["cpi_last"], out["ms"], out["ns"], out["alive"],
+            out["bad"], out["psel"]))
         ran, fill = int(res[0]), int(res[1])
         retry_rows = np.zeros(0, dtype=np.int64)
         if ran:
             self._grow(fill - n0)
-            # ONE packed windowed readback: only the [n0:fill) rows changed
-            # (plus the alive flags of deactivated parents anywhere).
-            # Separate np.asarray calls each pay a full tunnel round trip
-            # (~30-56 ms healthy, seconds degraded); packing coords/level/
-            # gain/metric/bad into a single int32 buffer turns 6 round
-            # trips into 1 (+ the alive bitmap). gain/metric travel as
-            # BITCAST int32 — float bits survive any transfer, while f32
-            # lanes holding small-int coord payloads would risk denormal
-            # flushing through compute ops.
-            win = min(_bucket(fill - n0, minimum=1024), cap + 1 - n0)
-            buf = np.asarray(_pack_loop_window(
-                out["coords"], out["level"], out["gain"], out["metric"],
-                out["bad"], jnp.int32(n0), win))[:fill - n0]
-            self._coords[n0:fill] = buf[:, :d]
-            self._level[n0:fill] = buf[:, d]
-            alive_bits = res[5 + 2 * iters:].view(np.uint32)
+            off = 5 + 2 * iters
+            n_words = (cap + 1 + 31) // 32
+            alive_bits = res[off:off + n_words].view(np.uint32)
+            bad_bits = res[off + n_words:off + 2 * n_words].view(np.uint32)
+            psel = res[off + 2 * n_words:].reshape(iters, k_max)
+            # split replay: reconstruct the new rows' coords/levels with
+            # the same integer arithmetic the device ran — children are
+            # appended in selection order × child-offset order, so the
+            # history + the (already host-known) parent rows determine
+            # them exactly
+            pos = n0
+            coords, level = self._coords, self._level
+            for t in range(ran):
+                p = psel[t]
+                p = p[p < cap]
+                m = p.size * n_ch
+                coords[pos:pos + m] = (
+                    coords[p][:, None, :] * 2
+                    + self._offsets[None, :, :]).reshape(-1, d)
+                level[pos:pos + m] = np.repeat(level[p] + 1, n_ch)
+                pos += m
+            assert pos == fill, (pos, fill)
             self._alive[:fill] = np.unpackbits(
                 alive_bits.view(np.uint8), bitorder="little")[:fill]
-            # gain is synced for the NEW rows only: rows < n0 are untouched
-            # by the loop, and overwriting them would truncate float64
-            # host-path gains (deep-level regime) to f32
-            self._gain[n0:fill] = buf[:, d + 1].copy().view(np.float32)
-            self._metric_arr[n0:fill] = buf[:, d + 2].copy().view(np.float32)
+            # host gain/metric rows [n0:fill) are stale (zeros from _grow)
+            # until a consumer forces the lazy sync; rows < n0 are
+            # untouched by the loop (float64 host-path gains in the
+            # deep-level regime survive)
+            s0 = n0 if self._gm_stale is None else min(self._gm_stale[0], n0)
+            self._gm_stale = (s0, fill)
             self._n_cells = fill
             self._current_max_level = int(res[2])
             self._cells_per_iter = int(res[3])
@@ -1821,7 +1872,8 @@ class SamplingTree:
                 self._metric.extend(
                     res[5:5 + ran].view(np.float32).astype(float).tolist())
             self._n_cells_log.extend(res[5 + iters:5 + iters + ran].tolist())
-            retry_rows = np.nonzero(buf[:, d + 3])[0] + n0
+            retry_rows = np.nonzero(np.unpackbits(
+                bad_bits.view(np.uint8), bitorder="little")[:fill])[0]
         st["t_readback_s"] += time() - t_rb
         st["n_calls_main"] += 1
         q_real = (fill - n0) * (1 + n_ch)
@@ -1838,7 +1890,14 @@ class SamplingTree:
             "cap": cap, "fill": fill, "dirty": retry_rows,
             "arrays": {k: out[k] for k in
                        ("coords", "level", "alive", "gain", "metric")}}
+        # source of the lazy gain/metric sync (kept past _dev_state's
+        # lifetime: the final captured-metric reduction may still need it)
+        self._gm_src = (out["gain"], out["metric"], out["alive"])
         if retry_rows.size:
+            # the retry escalation overwrites the bad rows' host
+            # gain/metric with exact values — land the lazy sync FIRST so
+            # it cannot clobber them afterwards
+            self._ensure_gain_metric()
             self._resolve_retries(retry_rows, _EPOCH_CHUNK[d])
             if metric_mode:
                 # the last in-loop captured entry used the unresolved
@@ -1847,7 +1906,37 @@ class SamplingTree:
                 self._metric[-1] = self._captured_metric_value()
         return ran
 
+    def _ensure_gain_metric(self) -> None:
+        """Land the LAZY gain/metric sync: the device-loop readback ships
+        neither array (they are only consumed on device in the common
+        all-device run); host code that genuinely reads them — top-k
+        selection for a host-path iteration, the retry escalation, a fresh
+        device-state upload — fetches the stale row window here, once."""
+        if self._gm_stale is None:
+            return
+        s0, s1 = self._gm_stale
+        gain_d, metric_d, _ = self._gm_src
+        win = min(_bucket(s1 - s0, minimum=256), gain_d.shape[0] - s0)
+        buf = np.asarray(_pack_gm(gain_d, metric_d, jnp.int32(s0),
+                                  win))[:s1 - s0]
+        self._gain[s0:s1] = buf[:, 0].copy().view(np.float32)
+        self._metric_arr[s0:s1] = buf[:, 1].copy().view(np.float32)
+        self._gm_stale = None
+        self._gm_src = None
+
     def _captured_metric_value(self) -> float:
+        if self._gm_stale is not None:
+            ds = self._dev_state
+            if (ds is not None and not ds["dirty"].size
+                    and ds["fill"] == self._n_cells):
+                # all-device state: reduce on device (one scalar readback;
+                # f32 accumulation vs the host's f64-over-f32 — the
+                # difference is ~1e-7 relative, far below the 1e-3-scale
+                # stopping thresholds)
+                _, metric_d, alive_d = self._gm_src
+                return float(_captured_reduce(alive_d, metric_d)
+                             / self._target_norm)
+            self._ensure_gain_metric()
         alive = self._alive_idx()
         return float(np.sqrt(np.square(self._metric_arr[alive]).sum())
                      / self._target_norm)

@@ -112,6 +112,10 @@ class ExportData:
         # engine k-NN index over the same CFD cloud, if the caller kept it
         # (set by execute_grid_generation) — skips the export-side rebuild
         self._engine_knn = getattr(s_cube, "_knn_index", None)
+        # weight cache prefetched by execute_grid_generation in a worker
+        # thread (overlapping the checkpoint write); consumed by
+        # _build_knn_cache when the settings match the defaults it assumed
+        self._prefetch = getattr(s_cube, "_knn_prefetch", None)
         self._knn = None
         self._mesh = None
         self._cache_device = False
@@ -220,16 +224,36 @@ class ExportData:
             self.timings["n_fallback"] += self._knn.last_fallback
         else:
             # host weight cache (single readback) feeding the host
-            # contraction — the default; see interpolate_host for why
-            w, idx = self._knn.weights(self._centers, self._n_neighbors)
-            self._knn_w_centers = np.asarray(w)
-            self._knn_idx_centers = np.asarray(idx)
-            self._op_centers = build_host_operator(
-                self._knn_w_centers, self._knn_idx_centers,
-                coordinates.reshape(-1, self.n_dimensions).shape[0])
+            # contraction — the default; see interpolate_host for why.
+            # execute_grid_generation may have prefetched exactly this
+            # cache in a worker thread (overlapped with the checkpoint
+            # write) — consume it when the engine index is in use and the
+            # neighbor count matches what the prefetch assumed
+            got = None
+            pf = self._prefetch
+            if (pf is not None and pf["thread"] is not None
+                    and self._knn is self._engine_knn
+                    and pf["k"] == self._n_neighbors):
+                pf["thread"].join()
+                got = pf["data"].get("centers")
+            if (got is not None
+                    and got[0].shape == (self._centers.shape[0],
+                                         self._n_neighbors)):
+                w, idx, op, n_fallback = got
+                self._knn_w_centers = np.asarray(w)
+                self._knn_idx_centers = np.asarray(idx)
+                self._op_centers = op
+                self.timings["n_fallback"] += n_fallback
+            else:
+                w, idx = self._knn.weights(self._centers, self._n_neighbors)
+                self._knn_w_centers = np.asarray(w)
+                self._knn_idx_centers = np.asarray(idx)
+                self._op_centers = build_host_operator(
+                    self._knn_w_centers, self._knn_idx_centers,
+                    coordinates.reshape(-1, self.n_dimensions).shape[0])
+                self.timings["n_fallback"] += getattr(self._knn,
+                                                      "last_fallback", 0)
             self._cache_device = False
-            self.timings["n_fallback"] += getattr(self._knn,
-                                                  "last_fallback", 0)
 
         if self._interpolate_at_vertices:
             if self._cache_device:

