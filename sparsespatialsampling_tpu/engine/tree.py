@@ -447,6 +447,7 @@ class SamplingTree:
         self._dev_state = None          # post-loop device arrays (re-entry)
         self._gm_stale = None           # (s0, s1) host gain/metric rows
         self._gm_src = None             # device (gain, metric, alive) source
+        self._gm_fetch = None           # in-flight packed [win, 2] fetch
 
         # flat cell arrays (append-only; index == creation order == tie-break)
         self._cap = 4096
@@ -738,8 +739,8 @@ class SamplingTree:
                                                  dims, n_sentinel)
             own = (flat // rows_per_dev) == me
             lflat = jnp.where(own, flat - me * rows_per_dev, 0)
-            sq, idx, sel, _ = _dilated_select(qflat, dil_pts, dil_cand,
-                                              lflat, k)
+            sq, idx, sel = _dilated_select(qflat, dil_pts, dil_cand,
+                                           lflat, k)
             vals = jnp.take_along_axis(dil_vals[lflat], sel, axis=1)
             okq = own & (sq.max(axis=1) <= margin_sq) \
                 & ~_overflow_contaminated(qflat, dil_ovf[lflat],
@@ -1891,7 +1892,11 @@ class SamplingTree:
             "arrays": {k: out[k] for k in
                        ("coords", "level", "alive", "gain", "metric")}}
         # source of the lazy gain/metric sync (kept past _dev_state's
-        # lifetime: the final captured-metric reduction may still need it)
+        # lifetime: the final captured-metric reduction may still need it).
+        # A pending packed fetch here would cover a different row window
+        # than the merged _gm_stale — unreachable (fetches are dispatched
+        # only at loop exit, after which re-entry is impossible), asserted.
+        assert self._gm_fetch is None
         self._gm_src = (out["gain"], out["metric"], out["alive"])
         if retry_rows.size:
             # the retry escalation overwrites the bad rows' host
@@ -1906,28 +1911,41 @@ class SamplingTree:
                 self._metric[-1] = self._captured_metric_value()
         return ran
 
-    def _ensure_gain_metric(self) -> None:
+    def _ensure_gain_metric(self, dispatch_only: bool = False) -> None:
         """Land the LAZY gain/metric sync: the device-loop readback ships
         neither array (they are only consumed on device in the common
         all-device run); host code that genuinely reads them — top-k
         selection for a host-path iteration, the retry escalation, a fresh
-        device-state upload — fetches the stale row window here, once."""
+        device-state upload — fetches the stale row window here, once.
+
+        With ``dispatch_only=True`` the packed fetch is only DISPATCHED
+        (JAX async): the big ``[cap+1]`` device-loop source arrays are
+        released immediately (only the small packed ``[win, 2]`` result
+        stays on device) and the blocking host conversion happens on the
+        next plain call — the adaptive-loop exit uses this so the transfer
+        overlaps the geometry-refinement/renumber host work instead of
+        stalling the critical path."""
         if self._gm_stale is None:
             return
         s0, s1 = self._gm_stale
-        gain_d, metric_d, _ = self._gm_src
-        win = min(_bucket(s1 - s0, minimum=256), gain_d.shape[0] - s0)
-        buf = np.asarray(_pack_gm(gain_d, metric_d, jnp.int32(s0),
-                                  win))[:s1 - s0]
+        if self._gm_fetch is None:
+            gain_d, metric_d, _ = self._gm_src
+            win = min(_bucket(s1 - s0, minimum=256), gain_d.shape[0] - s0)
+            self._gm_fetch = _pack_gm(gain_d, metric_d, jnp.int32(s0), win)
+            self._gm_src = None
+        if dispatch_only:
+            return
+        buf = np.asarray(self._gm_fetch)[:s1 - s0]
         self._gain[s0:s1] = buf[:, 0].copy().view(np.float32)
         self._metric_arr[s0:s1] = buf[:, 1].copy().view(np.float32)
         self._gm_stale = None
-        self._gm_src = None
+        self._gm_fetch = None
 
     def _captured_metric_value(self) -> float:
         if self._gm_stale is not None:
             ds = self._dev_state
-            if (ds is not None and not ds["dirty"].size
+            if (ds is not None and self._gm_src is not None
+                    and not ds["dirty"].size
                     and ds["fill"] == self._n_cells):
                 # all-device state: reduce on device (one scalar readback;
                 # f32 accumulation vs the host's f64-over-f32 — the
@@ -2009,6 +2027,11 @@ class SamplingTree:
         if self._n_cells_max is not None:
             self._captured_metric()
         self._dev_state = None   # free the cached device-loop state (~cap rows)
+        # release the lazy-sync source arrays too (they alias the loop
+        # state): dispatch the packed gain/metric fetch now, convert at the
+        # end of refine() — the transfer rides under the geometry/renumber
+        # host work, and post-refine consumers see authoritative host rows
+        self._ensure_gain_metric(dispatch_only=True)
         self._times["adaptive_split"] = {
             k: (round(v, 4) if isinstance(v, float) else v)
             for k, v in asplit.items()}
@@ -2019,6 +2042,7 @@ class SamplingTree:
 
         self._update_min_ref_level()
         self._resort_nodes_and_indices_of_grid()
+        self._ensure_gain_metric()   # land the loop-exit async fetch
         self._create_mesh_info(iteration_count)
         logger.info(self)
 

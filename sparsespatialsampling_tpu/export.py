@@ -27,7 +27,7 @@ from .io.const import GRID, CONST, FACES, CENTERS, VERTICES, DATA
 from .io.data import Datawriter
 from .ops.knn import KNNIndex
 from .ops.interpolate import (interpolate_device, interpolate_host,
-                              build_host_operator)
+                              build_host_weight_cache)
 
 logger = logging.getLogger(__name__)
 
@@ -235,24 +235,20 @@ class ExportData:
                     and self._knn is self._engine_knn
                     and pf["k"] == self._n_neighbors):
                 pf["thread"].join()
-                got = pf["data"].get("centers")
+                got = pf["data"].pop("centers", None)  # consume once; frees
+                pf["thread"] = None                    # the ~10-20 MB cache
             if (got is not None
                     and got[0].shape == (self._centers.shape[0],
                                          self._n_neighbors)):
                 w, idx, op, n_fallback = got
-                self._knn_w_centers = np.asarray(w)
-                self._knn_idx_centers = np.asarray(idx)
-                self._op_centers = op
-                self.timings["n_fallback"] += n_fallback
             else:
-                w, idx = self._knn.weights(self._centers, self._n_neighbors)
-                self._knn_w_centers = np.asarray(w)
-                self._knn_idx_centers = np.asarray(idx)
-                self._op_centers = build_host_operator(
-                    self._knn_w_centers, self._knn_idx_centers,
-                    coordinates.reshape(-1, self.n_dimensions).shape[0])
-                self.timings["n_fallback"] += getattr(self._knn,
-                                                      "last_fallback", 0)
+                # same helper the prefetch thread ran — byte-identical cache
+                w, idx, op, n_fallback = build_host_weight_cache(
+                    self._knn, self._centers, self._n_neighbors)
+            self._knn_w_centers = w
+            self._knn_idx_centers = idx
+            self._op_centers = op
+            self.timings["n_fallback"] += n_fallback
             self._cache_device = False
 
         if self._interpolate_at_vertices:
@@ -262,12 +258,10 @@ class ExportData:
                                              self._n_neighbors)
                 self.timings["n_fallback"] += self._knn.last_fallback
             else:
-                w, idx = self._knn.weights(self._vertices, self._n_neighbors)
-                self._knn_w_vertices = np.asarray(w)
-                self._knn_idx_vertices = np.asarray(idx)
-                self._op_vertices = build_host_operator(
-                    self._knn_w_vertices, self._knn_idx_vertices,
-                    coordinates.reshape(-1, self.n_dimensions).shape[0])
+                (self._knn_w_vertices, self._knn_idx_vertices,
+                 self._op_vertices, n_fb) = build_host_weight_cache(
+                    self._knn, self._vertices, self._n_neighbors)
+                self.timings["n_fallback"] += n_fb
 
         self._initialized_weights = True
 

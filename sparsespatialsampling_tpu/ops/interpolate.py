@@ -98,6 +98,22 @@ def build_host_operator(w, idx, n_src: int):
     return sp.csr_matrix((w.ravel(), idx.ravel(), indptr), shape=(q, n_src))
 
 
+def build_host_weight_cache(knn_index, points, k: int):
+    """The export path's HOST weight cache for one point set: kNN inverse-
+    distance weights + neighbor indices + the CSR contraction operator.
+
+    Single source of truth for ``ExportData._build_knn_cache``'s host
+    branch AND the post-refinement prefetch thread
+    (``execute_grid_generation``) — both must build byte-identical caches
+    or the prefetched one would silently diverge from the fallback build.
+    Returns ``(w [Q, k] f32, idx [Q, k], csr_op, n_fallback)``."""
+    w, idx = knn_index.weights(points, k)
+    w = np.asarray(w)
+    idx = np.asarray(idx)
+    op = build_host_operator(w, idx, knn_index.n_points)
+    return w, idx, op, int(getattr(knn_index, "last_fallback", 0))
+
+
 def interpolate_host(w, idx, data, chunk_size: int = 16384,
                      timings: dict = None, op=None) -> np.ndarray:
     """Pure-host contraction on NUMPY weight caches (one CSR matmul).

@@ -472,10 +472,13 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k,
     """Candidate scoring + canonical top-k on the dilated rows ``flat``
     (the core of :func:`_dilated_topk`, reusable with externally computed —
     e.g. shard-local — row ids).  Returns ``(sq [Q, k], idx [Q, k],
-    sel [Q, k], tie [Q])`` in canonical ascending ``(sq, idx)`` order, with
-    ``sel`` the position in the flattened candidate axis (for value
-    gathers) and ``tie`` marking rows whose canonical order could NOT be
-    guaranteed (callers route them to their exact rescue path).
+    sel [Q, k])`` in canonical ascending ``(sq, idx)`` order, with ``sel``
+    the position in the flattened candidate axis (for value gathers).
+    Both selection routes resolve equal distances canonically on their own
+    (first-minimum == lowest candidate index on sorted rows; the 2-key
+    sort orders by index explicitly), so no per-row tie flag is needed —
+    rows whose exactness cannot be guaranteed are caught by the caller's
+    margin/overflow test instead.
 
     Distances are ranked by the PLAIN f32 delta-sum from the start — the
     same elementwise formula every other kNN path emits, so the values are
@@ -524,11 +527,10 @@ def _dilated_select(queries, dil_pts, dil_cand, flat, k,
             top_s, sel = jax.lax.top_k(-sq, k)
             sq_k = -top_s
         idx = dil_cand[flat[:, None], sel]               # [Q, k] pointwise
-        return sq_k, idx, sel, jnp.zeros(q, dtype=jnp.bool_)
+        return sq_k, idx, sel
     # canonical ascending (sq, idx) order over the widened set, keep k —
     # output is already in `_sort_neighbors` order
-    sq_k, idx, sel = _topk_canonical(sq, dil_cand[flat], k)
-    return sq_k, idx, sel, jnp.zeros(q, dtype=jnp.bool_)
+    return _topk_canonical(sq, dil_cand[flat], k)
 
 
 def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
@@ -540,9 +542,9 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
     canonical ascending ``(sq, idx)`` order."""
     flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
                                          dil_pts.shape[0] - 1)
-    sq, idx, sel, tie = _dilated_select(queries, dil_pts, dil_cand, flat, k,
-                                        sorted_rows=sorted_rows)
-    ok = ((sq.max(axis=1) <= margin_sq) & ~tie
+    sq, idx, sel = _dilated_select(queries, dil_pts, dil_cand, flat, k,
+                                   sorted_rows=sorted_rows)
+    ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, dil_ovf[flat], sq.max(axis=1),
                                     origin, inv_h))
     return sq, idx, sel, ok, flat

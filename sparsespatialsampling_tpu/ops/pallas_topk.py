@@ -62,9 +62,16 @@ def _pick_block(q: int) -> int:
 def topk_smallest(x, k: int, interpret: bool = False):
     """``(vals [Q, k], sel [Q, k] int32)`` — the k smallest of each row in
     ascending value order, ties resolved by ascending column index; values
-    are returned bit-exactly.  Rows with fewer than k finite entries get
-    ``+inf`` values with ``sel`` past the last real hit (same as the
-    ``top_k(-x)`` formulation this replaces)."""
+    are returned bit-exactly.
+
+    Caveat vs ``lax.top_k(-x)``: extraction invalidates a selected slot by
+    writing ``+inf``, which is indistinguishable from a genuine ``+inf``
+    input — a row with fewer than k finite entries therefore repeats its
+    first-``inf`` slot in ``sel`` (with ``+inf`` vals) where ``top_k``
+    would return distinct pad indices.  Callers must treat ``+inf`` values
+    as invalid rather than rely on distinct ``sel``; the dilated kNN rows
+    this serves never contain ``inf`` (pad candidates are clamped to a
+    finite 1e15 squared distance), so the two formulations agree there."""
     q, w = x.shape
     b = _pick_block(q)
     kern = partial(_topk_small_kernel, k=k)

@@ -159,25 +159,29 @@ class SparseSpatialSampling:
         # device k-NN queries, index readback and CSR pack overlap the
         # checkpoint pickling below (~0.5-1 s of pure host/disk work), so a
         # following ``ExportData(...)`` with default settings starts with a
-        # warm cache instead of paying the build on its critical path
+        # warm cache instead of paying the build on its critical path.
+        # Grid-only pipelines that never export can turn the speculative
+        # build off with ``S3_TPU_EXPORT_PREFETCH=0`` (it costs one k-NN
+        # query sweep + a weight readback of device time they don't need).
         import os
         from .ops.knn import KNNIndex
         from .parallel import sharding_enabled
         prefetch = {"thread": None, "k": None, "data": {}}
         if (isinstance(knn_index, KNNIndex) and not sharding_enabled()
+                and os.environ.get("S3_TPU_EXPORT_PREFETCH", "1") != "0"
                 and os.environ.get("S3_TPU_INTERP", "host") != "device"):
             import threading
             k = 8 if self.n_dimensions == 2 else 26
-            centers, n_pts = self.centers, knn_index.n_points
+            centers = self.centers
 
             def _prefetch_weights():
                 try:
-                    from .ops.interpolate import build_host_operator
-                    w, idx = knn_index.weights(centers, k)
-                    op = build_host_operator(w, idx, n_pts)
-                    prefetch["data"]["centers"] = (
-                        w, idx, op, int(getattr(knn_index,
-                                                "last_fallback", 0)))
+                    # the same helper ExportData._build_knn_cache runs, so
+                    # the prefetched cache is byte-identical to the
+                    # fallback build by construction
+                    from .ops.interpolate import build_host_weight_cache
+                    prefetch["data"]["centers"] = build_host_weight_cache(
+                        knn_index, centers, k)
                 except Exception as exc:   # fall back to the normal build
                     logger.debug(f"weight-cache prefetch skipped: {exc!r}")
 

@@ -477,9 +477,10 @@ class TestIdxDeltaPack:
 
     def test_grid_exact_under_kboundary_value_ties(self):
         """Duplicated points make the k-th and (k+1)-th distances exactly
-        equal — the approx_max_k fast path cannot guarantee the canonical
-        SET there, so such rows must flag ``tie`` and re-answer exactly
-        (ascending-index resolution among equal distances)."""
+        equal — the selection must resolve such k-boundary value ties
+        canonically (ascending candidate index among equal distances) on
+        every path: first-minimum extraction on sorted dilated rows and
+        the 2-key canonical sort both guarantee it by construction."""
         from sparsespatialsampling_tpu.ops.knn import KNNIndex
         rng = np.random.default_rng(7)
         pts = rng.uniform(size=(40_000, 3))
