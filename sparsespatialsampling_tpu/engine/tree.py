@@ -1029,15 +1029,19 @@ class SamplingTree:
                                   g["inv_h"], g["dims"])
             self._epoch_fn_ring = lambda c, l: jit_ring(c, l, *ring_args)
             nnb, C = 3 ** d, g["C"]
-            # per padded query: one dilated/blocked coordinate row, the
-            # pointwise [k] value lookups (the dilated path's single fused
-            # lookup vs the blocked path's candidate-id + value pair), the
-            # per-neighbor overflow flags, and the score-stage FLOPs — BOTH
-            # grid layouts score by the plain VPU delta-sum (2 FLOPs/MAC
-            # convention, matching the full-scan path)
-            ptwise = 4.0 * k if "dil_vals" in g else 8.0 * k
-            self._epoch_query_cost = (nnb * C * d * 4.0 + ptwise + nnb,
-                                      2.0 * nnb * C * d)
+            # per padded query: one dilated/blocked coordinate row (the
+            # dilated rows are compacted to the max occupied width,
+            # ``_dil_keep``), the pointwise [k] value lookups (the dilated
+            # path's single fused lookup vs the blocked path's candidate-id
+            # + value pair), the per-neighbor overflow flags, and the
+            # score-stage FLOPs — BOTH grid layouts score by the plain VPU
+            # delta-sum (2 FLOPs/MAC convention, matching the full-scan path)
+            if "dil_vals" in g:
+                w_eff, ptwise = g.get("_dil_keep", nnb * C), 4.0 * k
+            else:
+                w_eff, ptwise = nnb * C, 8.0 * k
+            self._epoch_query_cost = (w_eff * d * 4.0 + ptwise + nnb,
+                                      2.0 * w_eff * d)
         else:
             self._epoch_fn = self._epoch_fn_full
             self._epoch_query_cost = (knn._points.shape[0] * d * 4.0,

@@ -403,8 +403,8 @@ def _dilate(arr, nb):
     return arr[nb].reshape(nb.shape[0], -1)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _sort_dilated(dil_pts, dil_cand, d):
+@partial(jax.jit, static_argnums=(2, 3))
+def _sort_dilated(dil_pts, dil_cand, d, keep):
     """Sort every dilated row's candidates ascending by global (sorted-
     position) point index — pad slots (index = n_points) land last.
     ``lax.top_k`` is stable (equal values keep ascending position), so the
@@ -412,6 +412,13 @@ def _sort_dilated(dil_pts, dil_cand, d):
     ascending index — the canonical order every kNN path emits — with ONE
     plain ``top_k(k)``: no +8 slack widening and no [Q, k] 2-key re-sort
     per call (~10 ms per epoch call saved).
+
+    ``keep`` compacts the sorted rows to the max ACTUALLY OCCUPIED width
+    (pads sort last, so the slice is bit-exact; see
+    :func:`_max_dilated_occupancy`) — every per-query epoch cost (row
+    gather, distance reduce, top-k) scales with the row width, and the
+    occupied width measured 355 of 864 slots on the 500k-point c3d bench
+    layout (155/288 on OAT): a free ~2.2x on the dominant epoch terms.
 
     The permutation is applied by carrying the coordinate columns through
     ONE stable variadic ``lax.sort`` instead of ``argsort`` +
@@ -423,24 +430,43 @@ def _sort_dilated(dil_pts, dil_cand, d):
     p = dil_pts.reshape(n, w, d)
     out = jax.lax.sort((dil_cand,) + tuple(p[:, :, i] for i in range(d)),
                        dimension=1, num_keys=1, is_stable=True)
-    return jnp.stack(out[1:], axis=-1).reshape(n, -1), out[0]
+    pts = jnp.stack(out[1:], axis=-1)[:, :keep, :]
+    return pts.reshape(n, -1), out[0][:, :keep]
 
 
-@jax.jit
-def _dil_vals_device(cell_vals, cell_list, nb):
+@partial(jax.jit, static_argnums=(3,))
+def _dil_vals_device(cell_vals, cell_list, nb, keep):
     """Dilated scalar-value rows aligned with the SORTED ``dil_cand`` layout.
 
     Re-runs the same stable sort keys as :func:`_sort_dilated` (ascending
-    candidate index), so slot ``j`` of row ``i`` holds the value of
-    ``dil_cand[i, j]`` exactly — the fused epoch then gathers its selected
-    neighbor values with ONE pointwise ``[Q, k]`` lookup from these rows
-    instead of the serial pair (candidate-id lookup, then value lookup at
-    its result), each ~5 ms per 36.8k queries on the v5e."""
+    candidate index, same ``keep`` compaction), so slot ``j`` of row ``i``
+    holds the value of ``dil_cand[i, j]`` exactly — the fused epoch then
+    gathers its selected neighbor values with ONE pointwise ``[Q, k]``
+    lookup from these rows instead of the serial pair (candidate-id lookup,
+    then value lookup at its result), each ~5 ms per 36.8k queries on the
+    v5e."""
     vals_u = cell_vals[nb].reshape(nb.shape[0], -1)
     cand_u = cell_list[nb].reshape(nb.shape[0], -1)
     out = jax.lax.sort((cand_u, vals_u), dimension=1, num_keys=1,
                        is_stable=True)
-    return out[1]
+    return out[1][:, :keep]
+
+
+def _max_dilated_occupancy(plan: dict) -> int:
+    """Exact max number of REAL (non-pad) candidates in any 3^d dilated row,
+    from the plan's capped per-cell member counts — pure numpy on arrays the
+    plan already has, zero device work.  Out-of-range neighbors contribute
+    zero members, matching the sentinel row the dilated gather reads."""
+    dims = tuple(int(x) for x in plan["dims"])
+    counts = np.bincount(plan["fill"][0],
+                         minlength=plan["n_cells"] + 1)[:plan["n_cells"]]
+    cg = counts.reshape(dims)
+    d = len(dims)
+    cgp = np.pad(cg, [(1, 1)] * d)
+    acc = np.zeros_like(cg)
+    for off in np.ndindex(*(3,) * d):
+        acc += cgp[tuple(slice(o, o + s) for o, s in zip(off, dims))]
+    return int(acc.max()) if acc.size else 0
 
 
 @jax.jit
@@ -892,13 +918,20 @@ class KNNIndex:
         d = self.n_dim
         C = plan["C"]
         n_cells = plan["n_cells"]
+        # compacted row width: max occupied slots across all rows, bucketed
+        # to a multiple of 64 (≥128) so compiled shapes stay O(few) per run
+        # while the epoch kernels never touch the all-pad tail slots
+        full_w = (3 ** d) * C
+        occ = _max_dilated_occupancy(plan)
+        keep_w = int(min(full_w, max(128, -(-occ // 64) * 64)))
         # d coord lanes + candidate ids + overflow flags + (set_values)
         # the scalar dilated value rows
-        dil_bytes = (n_cells + 1) * (3 ** d) * C * (d + 3) * 4
+        dil_bytes = (n_cells + 1) * keep_w * (d + 3) * 4
         if dil_bytes <= 1.5e9:
             nb_dev = _neighbor_table_jit(
                 tuple(int(x) for x in plan["dims"]), n_cells, d)
             self._grid["_nb"] = nb_dev
+            self._grid["_dil_keep"] = keep_w
             g = self._grid
             # rows sorted ascending by candidate index: canonical k-boundary
             # tie-breaks then fall out of lax.top_k's stability (see
@@ -907,7 +940,7 @@ class KNNIndex:
                               nb_dev)
             dil_cand = _dilate(g["cell_list"], nb_dev)
             self._grid["dil_pts"], self._grid["dil_cand"] = _sort_dilated(
-                dil_pts, dil_cand, d)
+                dil_pts, dil_cand, d, keep_w)
             self._grid["dil_ovf"] = _dilate_flags(g["overflow"], nb_dev)
 
     def _morton_codes(self, pts: np.ndarray) -> np.ndarray:
@@ -948,7 +981,7 @@ class KNNIndex:
                 # exactness margin already failed
                 self._grid["dil_vals"] = _dil_vals_device(
                     self._grid["cell_vals"], self._grid["cell_list"],
-                    self._grid["_nb"])
+                    self._grid["_nb"], self._grid["_dil_keep"])
 
     def _run_chunked(self, kernel_args_fn, queries):
         """Run a padded kernel over query chunks of ≤ MAX_QUERY_CHUNK rows.
@@ -1035,8 +1068,9 @@ class KNNIndex:
             n_pad = _bucket_pow2(n, min(self._tile_q, grid_chunk))
             qarr = np.zeros((n_pad, self.n_dim), dtype=np.float32)
             qarr[:n] = chunk
+            use_dil = "dil_pts" in g and k <= g.get("_dil_keep", k)
             if mode == "predict":
-                if "dil_pts" in g:
+                if use_dil:
                     # scalar and multi-channel values ride the same kernel
                     # (pointwise value gather at the selected indices)
                     fut = _grid_predict_kernel_dil(
@@ -1049,7 +1083,7 @@ class KNNIndex:
                         g["cell_list"], g["overflow"], g["origin"],
                         g["inv_h"], g["dims"], k)
             else:
-                if "dil_pts" in g:
+                if use_dil:
                     fut = _grid_query_kernel_dil(
                         jnp.asarray(qarr), g["dil_pts"], g["dil_cand"],
                         g["dil_ovf"], g["origin"], g["inv_h"], g["dims"],
@@ -1227,7 +1261,7 @@ class KNNIndex:
         parts = []
         for lo in range(0, n_pad, chunk):
             qarr = jnp.asarray(qf32[lo:lo + chunk])
-            if "dil_pts" in g:
+            if "dil_pts" in g and k <= g.get("_dil_keep", k):
                 parts.append(_grid_query_kernel_dil(
                     qarr, g["dil_pts"], g["dil_cand"], g["dil_ovf"],
                     g["origin"], g["inv_h"], g["dims"], k))
