@@ -324,6 +324,41 @@ class TestBucketGrid:
         assert pred.shape == (200, 2)
         np.testing.assert_allclose(pred, pred_full, rtol=1e-5, atol=1e-6)
 
+    def test_dilated_compaction_no_truncation(self, monkeypatch):
+        """The dilated rows are sliced to the max occupied candidate width
+        (``_dil_keep``, bound computed by ``_max_dilated_occupancy``) — the
+        slice is only bit-exact if it never drops a REAL candidate.  Pin
+        that: the bound must equal the exact per-row neighborhood member
+        counts (recomputed independently from the neighbor table), and every
+        compacted row must hold exactly that many real slots."""
+        from sparsespatialsampling_tpu.ops.knn import _max_dilated_occupancy
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+        rng = np.random.default_rng(21)
+        # clustered cloud -> strongly non-uniform occupancy
+        pts = np.concatenate([
+            rng.uniform(size=(6000, 2)),
+            rng.normal([0.7, 0.3], 0.02, size=(6000, 2))])
+        index = KNNIndex(pts, values=np.sin(pts.sum(1)))
+        g = index._grid
+        assert g is not None and "dil_cand" in g
+        dims = np.asarray(g["dims"])
+        n_cells = int(np.prod(dims))
+        cells = np.asarray(index._grid_fill[0])
+        occ = _max_dilated_occupancy(
+            {"dims": dims, "n_cells": n_cells, "fill": (cells,)})
+        # independent exact occupancy: capped member counts summed over each
+        # row's 3^d neighborhood via the neighbor table (sentinel row -> 0)
+        counts = np.bincount(cells, minlength=n_cells + 1)[:n_cells]
+        counts_ext = np.append(counts, 0)
+        nc = counts_ext[np.asarray(g["_nb"])].sum(axis=1)
+        assert occ == int(nc.max())
+        keep = g["_dil_keep"]
+        assert keep >= occ
+        cand = np.asarray(g["dil_cand"])
+        assert cand.shape[1] == keep
+        real = (cand < index.n_points).sum(axis=1)   # pad slots sort last
+        np.testing.assert_array_equal(real, nc)      # zero truncation
+
     def test_grid_fullscan_tie_break_bitwise(self, monkeypatch):
         """Exact f32 distance TIES at the k-boundary (structured lattices,
         common in CFD meshes) must resolve identically — by ascending global
