@@ -1,6 +1,7 @@
 """S³ end-to-end benchmark: refine + interpolate + weighted SVD.
 
-Two workloads:
+Workloads (in priority order — later ones are skipped if the wall budget
+runs out, earlier results are never lost):
 
 1. **OAT15 2D (headline)** — mirror of the reference's tutorial-2
    configuration (``docs/source/tutorials/tutorial2_oat15_buffet.ipynb``:
@@ -21,34 +22,121 @@ Two workloads:
    72 cores); ``c3d_baseline_est_s`` is an EXTRAPOLATION, clearly labeled:
    OAT's 26.93 s at 29k cells/245k pts, scaled by cell count (x5.2) and a 3D
    per-cell factor (x2: 8 children, 26-point kNN) ≈ 280 s at n_jobs=4.
-   This workload also runs twice (``c3d_run1/2_s``) with the better run
-   broken down — tunnel-health phases can distort any single run.
 
-Timing protocol: EVERY workload runs its full pipeline twice — the first
+3. **cylinder2D metric-target** — the reference's tutorial-1 configuration
+   (``min_metric=0.75`` stopping, sphere obstacle with
+   ``min_refinement_level=9``; published 18.32 s, BASELINE.md row 2) so the
+   *metric-mode* stopping criterion carries a driver-visible number too
+   (the other workloads all use ``n_cells_max`` mode).
+
+4. **STL obstacle** — 200k-point 3D cloud against a 51k-triangle STL
+   (the reference's stated STL scale guidance).
+
+5. **cylinder2D max_delta_level** — the reference's tutorial-3
+   configuration (2:1 level constraint on, obstacle
+   ``min_refinement_level=12``; published 11.56 s, BASELINE.md row 5) so
+   the constraint path carries a driver-visible number.
+
+6. **gather roofline** — a one-off random-10KB-row gather microbench that
+   measures this chip's achievable gather bandwidth, so each workload's
+   ``*_epoch_gather_gbps`` can be reported as ``*_epoch_gather_pct_of_peak``.
+
+Evidence protocol (the whole point of this file's structure): a full,
+parseable JSON line — cumulative, same schema growing over time — is
+printed IMMEDIATELY at startup and again after EVERY completed run, and
+mirrored to the sidecar ``BENCH_partial.json``.  A watchdog thread
+enforces a global wall budget (env ``S3_BENCH_BUDGET_S``, default 480 s):
+when it expires, whatever has been measured is emitted one final time and
+the process exits 0.  A tunnel stall can therefore delay results but can
+never zero them out — the driver parses the LAST complete line.
+
+Timing protocol per workload: the full pipeline runs twice — the first
 run pays remote program loads plus the tunnel's first-readback channel
 init (which can stall minutes); measured steady-state phases are 2-20x
 faster than load-poisoned ones — BOTH raw e2e totals are reported
-(`oat_run1/2_s`, `c3d_run1/2_s`, `stl_run1/2_s`) and the better run is
-broken down (the grids/outputs are identical across runs).
-
-Prints ONE JSON line:
-    {"metric": ..., "value": <OAT e2e seconds>, "unit": "s",
-     "vs_baseline": <26.93 / best OAT refine>, ...components..., "c3d_*"}
+(`oat_run1/2_s`, ...) and the better run is broken down (the
+grids/outputs are identical across runs).  Repeat runs are skipped when
+the remaining budget would not cover them.
 """
 import json
+import os
 import tempfile
+import threading
 import time
 
 import numpy as np
 
 
 BASELINE_REFINE_S = 26.93  # tutorial2 cell-10 output: 25k cells + geometry, n_jobs=4
+C2D_BASELINE_S = 18.32  # tutorial1 cell-9 output: min_metric=0.75, n_jobs=4
+MDL_BASELINE_S = 11.56  # tutorial3 cell-5 output: max_delta_level=True
 C3D_BASELINE_EST_S = 280.0  # EXTRAPOLATED (see module docstring) — not published
 # MXU peak of the one v5e chip this runs on, bf16. The epoch kernels run
 # f32 with Precision.HIGHEST (multiple bf16 passes), so this denominator is
 # an upper bound and the reported MFU a LOWER bound — these kernels are
-# gather/HBM-bound by design, the honest headline is the gather GB/s.
+# gather/HBM-bound by design, the honest headline is the gather GB/s
+# (normalized against the measured roofline, workload 6).
 V5E_BF16_PEAK_TFLOPS = 197.0
+
+SIDECAR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "BENCH_partial.json")
+
+
+class Report:
+    """Cumulative, always-parseable benchmark record.
+
+    One JSON line per ``emit`` — each a superset of the last, so the last
+    complete line on stdout is always the best available snapshot.  A
+    daemon watchdog force-emits and exits 0 when the wall budget expires
+    (os._exit is deliberate: it fires even while the main thread is stuck
+    in an uninterruptible tunnel readback)."""
+
+    def __init__(self, budget_s: float):
+        self._lock = threading.Lock()
+        self._t0 = time.perf_counter()
+        self.budget_s = budget_s
+        self.data = {
+            "metric": ("oat15_2d e2e refine(25k cells + airfoil geometry)"
+                       "+interp(50 snaps)+svd wall"),
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+            "budget_s": budget_s,
+            "workloads_done": [],
+            "note": "startup: no workload completed yet",
+        }
+        t = threading.Thread(target=self._watch, daemon=True)
+        t.start()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self._t0
+
+    def remaining(self) -> float:
+        return self.budget_s - self.elapsed()
+
+    def emit(self, **kv) -> None:
+        with self._lock:
+            self.data.update(kv)
+            self.data["t_elapsed_s"] = round(self.elapsed(), 1)
+            line = json.dumps(self.data)
+            print(line, flush=True)
+            try:
+                with open(SIDECAR, "w") as fh:
+                    fh.write(line + "\n")
+            except OSError:
+                pass
+
+    def done(self, name: str) -> None:
+        done = list(self.data["workloads_done"]) + [name]
+        self.emit(workloads_done=done,
+                  note="completed: " + ",".join(done))
+
+    def _watch(self) -> None:
+        while True:
+            rem = self.remaining()
+            if rem <= 0:
+                break
+            time.sleep(min(rem, 5.0))
+        self.emit(budget_exhausted=True)
+        os._exit(0)
 
 
 def throughput_metrics(prefix: str, dfm: dict, exp_timings: dict) -> dict:
@@ -82,10 +170,11 @@ def throughput_metrics(prefix: str, dfm: dict, exp_timings: dict) -> dict:
             exp_timings.get("interp_outputs", 0) / tk, 1)
         out[f"{prefix}interp_gather_gbps"] = round(
             exp_timings.get("interp_bytes", 0.0) / tk / 1e9, 2)
-    for key in ("t_weights", "t_upload", "t_metric", "t_kernel",
-                "t_readback", "t_h5"):
-        out[f"{prefix}{key}"] = round(exp_timings.get(key, 0.0), 3)
-    out[f"{prefix}n_fallback"] = exp_timings.get("n_fallback", 0)
+    if exp_timings:
+        for key in ("t_weights", "t_upload", "t_metric", "t_kernel",
+                    "t_readback", "t_h5"):
+            out[f"{prefix}{key}"] = round(exp_timings.get(key, 0.0), 3)
+        out[f"{prefix}n_fallback"] = exp_timings.get("n_fallback", 0)
     return out
 
 
@@ -190,6 +279,52 @@ def run_cylinder3d(tmp):
     return s3, t_refine, t_interp, t_svd, exp.timings, dict(last_svd_timings)
 
 
+def synthetic_cylinder2d(n_points: int = 25_000, seed: int = 3):
+    """Synthetic cylinder2D Re=100 stand-in (tutorial-1 scale): wake-like
+    time-mean |U| metric behind a cylinder at (0.2, 0.2), r=0.05 in the
+    standard 2.2 x 0.41 channel."""
+    bounds = [[0.0, 0.0], [2.2, 0.41]]
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(bounds[0], bounds[1], size=(int(n_points * 1.02), 2))
+    r = np.linalg.norm(xy - [0.2, 0.2], axis=1)
+    xy = xy[r > 0.05][:n_points]
+    x, y = xy.T
+    wake = ((x > 0.2) * np.exp(-np.maximum(x - 0.25, 0.0) / 0.6)
+            * (np.exp(-((y - 0.2) ** 2) / 0.01)
+               + 0.4 * np.cos(12.0 * (x - 0.25))
+               * np.exp(-((y - 0.2) ** 2) / 0.02)))
+    metric = (np.abs(wake) + 0.02).astype(np.float64)
+    return xy, metric, bounds
+
+
+def run_cylinder2d_metric(tmp, max_delta_level=False):
+    """Tutorial-1 config (metric-target stopping) or, with
+    ``max_delta_level=True``, the tutorial-3 config (2:1 constraint +
+    obstacle min_refinement_level=12, ~50% target)."""
+    from sparsespatialsampling_tpu import (
+        SparseSpatialSampling, CubeGeometry, SphereGeometry)
+    xy, metric, bounds = synthetic_cylinder2d()
+    level = 12 if max_delta_level else 9
+    geometries = [
+        CubeGeometry("domain", True, bounds[0], bounds[1]),
+        SphereGeometry("cylinder", False, [0.2, 0.2], 0.05,
+                       refine=True, min_refinement_level=level),
+    ]
+    t0 = time.perf_counter()
+    s3 = SparseSpatialSampling(
+        xy, metric, geometries, save_path=tmp,
+        save_name="mdl" if max_delta_level else "c2d",
+        uniform_levels=5,
+        min_metric=0.5 if max_delta_level else 0.75,
+        max_delta_level=max_delta_level)
+    s3.execute_grid_generation()
+    t_refine = time.perf_counter() - t0
+    pf = getattr(s3, "_knn_prefetch", None)
+    if pf and pf.get("thread") is not None:
+        pf["thread"].join()
+    return s3, t_refine
+
+
 def synthetic_sphere_stl(path: str, n_lat: int = 180, n_lon: int = 144):
     """Write a ~5e4-triangle closed sphere STL (the reference's stated STL
     scale, ``README.md:202-208`` / ``geometry_STL_3d.py:161-166``): interior
@@ -224,7 +359,6 @@ def run_stl(tmp):
     obstacle (surface refinement on) — proves the full-evaluation-per-epoch
     decision (engine/tree.py fused geometry check) at the reference's STL
     scale guidance."""
-    import os
     from sparsespatialsampling_tpu import (
         SparseSpatialSampling, CubeGeometry, GeometrySTL3D)
     stl_path = os.path.join(tmp, "sphere.stl")
@@ -256,6 +390,43 @@ def run_stl(tmp):
     return s3, n_tri, t_refine
 
 
+def gather_roofline(n_rows: int = 36_864, row_f32: int = 2_560,
+                    iters: int = 8) -> float:
+    """Measured achievable gather bandwidth for the epoch kernel's access
+    pattern (random ~10 KB rows out of a ~378 MB table), GB/s.
+
+    Iterations are chained through a data dependency (the next index
+    offset depends on the previous gather's result) and synced ONCE via a
+    scalar ``device_get`` — ``block_until_ready`` does not reliably sync
+    through the axon tunnel and unchained loops report impossible
+    numbers (see CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    table = jnp.ones((n_rows, row_f32), jnp.float32)
+    idx0 = jnp.asarray(np.random.default_rng(0).permutation(n_rows),
+                       jnp.int32)
+
+    @jax.jit
+    def run(table, idx):
+        def body(carry, _):
+            idx, acc = carry
+            g = jnp.take(table, idx, axis=0)
+            row0 = g[:, 0]
+            nxt = (idx + row0[0].astype(jnp.int32)) % n_rows
+            return (nxt, acc + row0.sum()), None
+        (_, acc), _ = lax.scan(body, (idx, jnp.float32(0)), None,
+                               length=iters)
+        return acc
+
+    float(jax.device_get(run(table, idx0)))  # compile + channel warm
+    t0 = time.perf_counter()
+    float(jax.device_get(run(table, idx0)))
+    dt = time.perf_counter() - t0
+    return n_rows * row_f32 * 4 * iters / dt / 1e9
+
+
 def warmup_tunnel():
     """One tiny dispatch + readback before any timed work: absorbs the
     tunnel's first-readback channel-init stall (30 ms … 340+ s, purely
@@ -267,128 +438,50 @@ def warmup_tunnel():
     return time.perf_counter() - t0
 
 
-def probe_backend(timeout_s: int = 570, attempts: int = 3) -> float:
+def probe_backend(timeout_s: float) -> float:
     """Check in a SUBPROCESS that the jax backend actually initializes;
-    returns the init wall seconds (-1.0 if every attempt timed out).
+    returns the init wall seconds (-1.0 on timeout).
 
     When the TPU tunnel is down, ``jax.devices()`` hangs indefinitely
     inside this process (uninterruptible); probing in a child process lets
     the bench emit a parseable failure record instead of hanging until the
-    driver kills it.  Init times of 250-300+ s have been observed during
-    sick tunnel phases that later recover — hence a generous per-attempt
-    timeout and retries (a failed attempt often leaves the channel warmer
-    for the next one)."""
+    watchdog fires.  One attempt only — the old 3 x 570 s retry loop could
+    silently eat the entire driver budget before any workload ran."""
     import subprocess
     import sys
-    for _ in range(attempts):
-        t0 = time.perf_counter()
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=timeout_s, capture_output=True)
-            if r.returncode == 0:
-                return time.perf_counter() - t0
-        except subprocess.TimeoutExpired:
-            pass
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return time.perf_counter() - t0
+    except subprocess.TimeoutExpired:
+        pass
     return -1.0
 
 
-def main():
-    t_probe = probe_backend()
-    if t_probe < 0:
-        print(json.dumps({
-            "metric": "oat15_2d e2e refine+interp+svd wall",
-            "value": -1.0, "unit": "s", "vs_baseline": 0.0,
-            "error": ("accelerator backend failed to initialize within "
-                      "3 x 570 s (TPU tunnel down) — no measurement "
-                      "taken")}))
-        return
+def _runs_dict(prefix: str, totals, extras=None) -> dict:
+    out = {f"{prefix}_run{i + 1}_s": round(t, 3)
+           for i, t in enumerate(totals)}
+    if extras:
+        out.update(extras)
+    return out
 
-    from sparsespatialsampling_tpu import ExportData, write_svd_s_cube_to_file
 
-    t_warmup = warmup_tunnel()
-    xy, metric, poly = synthetic_oat15()
-    tmp = tempfile.mkdtemp()
-
-    # -- workload 1: OAT15 2D (headline, directly comparable to 26.93 s) --
-    # ALWAYS run the FULL pipeline twice (same protocol as c3d below): the
-    # first run pays program loads and the tunnel's first-readback
-    # channel-init stall (which can exceed 300 s on its own) — measured
-    # steady-state weight-cache build is ~0.25 s vs 2-6 s with a fresh
-    # program load — so timing export/SVD only once would record exactly
-    # the load-poisoned number.  Both raw e2e totals are reported and the
-    # better run is broken down (the grids/outputs are identical).
-    n_snap = 50
-    phases = np.linspace(0, 2 * np.pi, n_snap, endpoint=False)
-    snaps = (metric[:, None]
-             * (1 + 0.2 * np.sin(phases)[None, :])).astype(np.float32)
-    times = [f"{t:.4f}" for t in np.arange(n_snap) * 5e-4]
-
-    def run_oat_pipeline():
-        s3, t_init, t_refine = run_refine_oat(xy, metric, poly, tmp, "bench")
-        t1 = time.perf_counter()
-        exp = ExportData(s3, write_times=times)
-        exp.export(xy, snaps[:, None, :], "Ma", n_snapshots_total=n_snap)
-        t_interp = time.perf_counter() - t1
-        t2 = time.perf_counter()
-        write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20,
-                                 n_modes=5)
-        t_svd = time.perf_counter() - t2
-        from sparsespatialsampling_tpu.utils import last_svd_timings
-        return (s3, exp, t_init, t_refine, t_interp, t_svd,
-                dict(last_svd_timings))
-
-    oat_runs = [run_oat_pipeline() for _ in range(2)]
-    oat_totals = [sum(r[3:6]) for r in oat_runs]
-    # degraded-tunnel insurance (same rationale as c3d below): warm runs
-    # land at ~1.5-3 s; if BOTH attempts miss that envelope by ~2x the wire
-    # is sick, not the kernels — one more attempt often lands in a
-    # healthier phase
-    if min(oat_totals) > 6.0:
-        oat_runs.append(run_oat_pipeline())
-        oat_totals.append(sum(oat_runs[-1][3:6]))
-    oat_refines = [r[3] for r in oat_runs]
-    best_oat = int(np.argmin(oat_totals))
-    (s3, exp, t_init, t_refine, t_interp, t_svd,
-     oat_svd_t) = oat_runs[best_oat]
-    t_refine1, t_refine2 = oat_refines[0], oat_refines[1]
-
-    t_total = oat_totals[best_oat]
-    n_cells = int(s3.faces.shape[0])
-    captured = float(s3.data_final_mesh["metric_per_iter"][-1])
-
-    # -- workload 2: cylinder3D north-star (warm device) ------------------
-    # same stall protection as the 2D workload: the tunnel's health varies
-    # by minutes-long phases, so run twice, report BOTH raw totals, and
-    # break down the better run (the grids are identical)
-    runs = [run_cylinder3d(tmp) for _ in range(2)]
-    c3d_totals = [r[1] + r[2] + r[3] for r in runs]
-    # degraded-tunnel insurance: warm runs land at ~6-8 s; if BOTH runs
-    # miss that envelope by ~2x the wire is sick, not the kernels — one
-    # more attempt costs ~10 s and often lands in a healthier phase
-    if min(c3d_totals) > 15.0:
-        runs.append(run_cylinder3d(tmp))
-        c3d_totals.append(runs[-1][1] + runs[-1][2] + runs[-1][3])
-    best = int(np.argmin(c3d_totals))
-    c3d, c3d_refine, c3d_interp, c3d_svd, c3d_exp_t, c3d_svd_t = runs[best]
-    c3d_total = c3d_totals[best]
-
+def emit_oat(rep: Report, oat_runs) -> tuple:
+    """Cumulative OAT fields from all runs so far; returns (s3, exp) of
+    the best run for downstream use."""
+    totals = [sum(r[3:6]) for r in oat_runs]
+    refines = [r[3] for r in oat_runs]
+    best = int(np.argmin(totals))
+    s3, exp, t_init, t_refine, t_interp, t_svd, svd_t = oat_runs[best]
     out = {
-        "metric": ("oat15_2d e2e refine(25k cells + airfoil geometry)"
-                   "+interp(50 snaps)+svd wall"),
-        "value": round(t_total, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_REFINE_S / min(oat_refines), 3),
-        "t_warmup_s": round(t_warmup, 3),
-        "t_probe_s": round(t_probe, 3),
-        "oat_run1_s": round(oat_totals[0], 3),
-        "oat_run2_s": round(oat_totals[1], 3),
-        **({"oat_run3_s": round(oat_totals[2], 3)}
-           if len(oat_totals) > 2 else {}),
-        **({"t_refine_run3_s": round(oat_refines[2], 3)}
-           if len(oat_refines) > 2 else {}),
-        "t_refine_run1_s": round(t_refine1, 3),
-        "t_refine_run2_s": round(t_refine2, 3),
+        "value": round(totals[best], 3),
+        "vs_baseline": round(BASELINE_REFINE_S / min(refines), 3),
+        **_runs_dict("oat", totals),
+        **{f"t_refine_run{i + 1}_s": round(t, 3)
+           for i, t in enumerate(refines)},
         "t_refine_s": round(t_refine, 3),
         "t_init_s": round(t_init, 3),
         "t_uniform_s": round(s3.data_final_mesh["t_uniform"], 3),
@@ -398,16 +491,24 @@ def main():
         "t_interp_s": round(t_interp, 3),
         "t_svd_s": round(t_svd, 3),
         # SVD sub-phases: HDF5 reads / compute_svd / mode+grid+XDMF writes
-        **{f"t_svd_{k[2:]}_s": round(v, 3) for k, v in oat_svd_t.items()},
-        "n_cells": n_cells,
-        "captured_metric": round(captured, 4),
+        **{f"t_svd_{k[2:]}_s": round(v, 3) for k, v in svd_t.items()},
+        "n_cells": int(s3.faces.shape[0]),
+        "captured_metric": round(
+            float(s3.data_final_mesh["metric_per_iter"][-1]), 4),
         "baseline_refine_s": BASELINE_REFINE_S,
-        # north-star workload (two runs, best broken down)
-        "c3d_run1_s": round(c3d_totals[0], 3),
-        "c3d_run2_s": round(c3d_totals[1], 3),
-        **({"c3d_run3_s": round(c3d_totals[2], 3)}
-           if len(c3d_totals) > 2 else {}),
-        "c3d_value_s": round(c3d_total, 3),
+    }
+    out.update(throughput_metrics("", s3.data_final_mesh, exp.timings))
+    rep.emit(**out)
+    return s3, exp
+
+
+def emit_c3d(rep: Report, runs) -> None:
+    totals = [r[1] + r[2] + r[3] for r in runs]
+    best = int(np.argmin(totals))
+    c3d, c3d_refine, c3d_interp, c3d_svd, c3d_exp_t, c3d_svd_t = runs[best]
+    out = {
+        **_runs_dict("c3d", totals),
+        "c3d_value_s": round(totals[best], 3),
         "c3d_refine_s": round(c3d_refine, 3),
         "c3d_interp_s": round(c3d_interp, 3),
         "c3d_svd_s": round(c3d_svd, 3),
@@ -428,9 +529,8 @@ def main():
             float(c3d.data_final_mesh["metric_per_iter"][-1]), 4),
         "c3d_cells_per_s": round(c3d.faces.shape[0] / c3d_refine, 1),
         "c3d_baseline_est_s": C3D_BASELINE_EST_S,
-        "c3d_vs_baseline_est": round(C3D_BASELINE_EST_S / c3d_total, 2),
+        "c3d_vs_baseline_est": round(C3D_BASELINE_EST_S / totals[best], 2),
     }
-    out.update(throughput_metrics("", s3.data_final_mesh, exp.timings))
     out.update(throughput_metrics("c3d_", c3d.data_final_mesh, c3d_exp_t))
     # adaptive-loop attribution: host selection vs device epoch wall
     for k, v in (c3d.data_final_mesh.get("adaptive_split") or {}).items():
@@ -438,22 +538,38 @@ def main():
     # renumber attribution: host unique/scatter vs HDF5-side costs
     for k, v in (c3d.data_final_mesh.get("renumber_split") or {}).items():
         out[f"c3d_renumber_{k}"] = v
+    rep.emit(**out)
 
-    # -- workload 3: STL obstacle at the reference's 5e4-triangle scale ---
-    # same two-run protocol as c3d: run1 pays the fresh compiles of the
-    # winding/sign-grid kernels over the tunnel, run2 shows steady state;
-    # both raw totals reported, the better one broken down
-    stl_runs = [run_stl(tmp) for _ in range(2)]
-    # degraded-tunnel insurance (see OAT/c3d above); warm is ~3-4 s
-    if min(r[2] for r in stl_runs) > 12.0:
-        stl_runs.append(run_stl(tmp))
-    best_stl = int(np.argmin([r[2] for r in stl_runs]))
-    s3_stl, n_tri, t_stl = stl_runs[best_stl]
-    out.update({
-        "stl_run1_s": round(stl_runs[0][2], 3),
-        "stl_run2_s": round(stl_runs[1][2], 3),
-        **({"stl_run3_s": round(stl_runs[2][2], 3)}
-           if len(stl_runs) > 2 else {}),
+
+def emit_c2d(rep: Report, runs, prefix: str, baseline_s: float) -> None:
+    totals = [r[1] for r in runs]
+    best = int(np.argmin(totals))
+    s3, t_refine = runs[best]
+    out = {
+        **_runs_dict(prefix, totals),
+        f"{prefix}_value_s": round(totals[best], 3),
+        f"{prefix}_n_cells": int(s3.faces.shape[0]),
+        f"{prefix}_captured_metric": round(
+            float(s3.data_final_mesh["metric_per_iter"][-1]), 4),
+        f"{prefix}_uniform_s": round(s3.data_final_mesh["t_uniform"], 3),
+        f"{prefix}_adaptive_s": round(s3.data_final_mesh["t_adaptive"], 3),
+        f"{prefix}_geometry_s": (
+            round(s3.data_final_mesh["t_geometry"], 3)
+            if s3.data_final_mesh["t_geometry"] else None),
+        f"{prefix}_baseline_s": baseline_s,
+        f"{prefix}_vs_baseline": round(baseline_s / totals[best], 2),
+        f"{prefix}_n_iterations": int(s3.data_final_mesh["iterations"]),
+    }
+    out.update(throughput_metrics(f"{prefix}_", s3.data_final_mesh, {}))
+    rep.emit(**out)
+
+
+def emit_stl(rep: Report, stl_runs) -> None:
+    totals = [r[2] for r in stl_runs]
+    best = int(np.argmin(totals))
+    s3_stl, n_tri, t_stl = stl_runs[best]
+    out = {
+        **_runs_dict("stl", totals),
         "stl_refine_s": round(t_stl, 3),
         "stl_n_triangles": int(n_tri),
         "stl_n_cells": int(s3_stl.faces.shape[0]),
@@ -461,9 +577,157 @@ def main():
         "stl_adaptive_s": round(s3_stl.data_final_mesh["t_adaptive"], 3),
         "stl_geometry_s": (round(s3_stl.data_final_mesh["t_geometry"], 3)
                            if s3_stl.data_final_mesh["t_geometry"] else None),
-    })
+    }
     out.update(throughput_metrics("stl_", s3_stl.data_final_mesh, {}))
-    print(json.dumps(out))
+    rep.emit(**out)
+
+
+def repeat_budget_ok(rep: Report, last_run_s: float) -> bool:
+    """Is there budget for another run of a workload that just took
+    ``last_run_s``?  Repeat runs are warm, so the last run's wall (plus
+    margin) is a good upper bound."""
+    return rep.remaining() > 1.3 * last_run_s + 10.0
+
+
+def main():
+    budget_s = float(os.environ.get("S3_BENCH_BUDGET_S", "480"))
+    rep = Report(budget_s)
+    rep.emit()  # bootstrap line: parseable before ANY tunnel-touching work
+
+    t_probe = probe_backend(timeout_s=max(30.0, min(240.0,
+                                                    rep.remaining() - 60.0)))
+    if t_probe < 0:
+        rep.emit(value=-1.0, vs_baseline=0.0,
+                 error=("accelerator backend failed to initialize (TPU "
+                        "tunnel down) — no measurement taken"))
+        return
+    rep.emit(t_probe_s=round(t_probe, 3))
+
+    from sparsespatialsampling_tpu import ExportData, write_svd_s_cube_to_file
+
+    t_warmup = warmup_tunnel()
+    rep.emit(t_warmup_s=round(t_warmup, 3))
+    xy, metric, poly = synthetic_oat15()
+    tmp = tempfile.mkdtemp()
+
+    # -- workload 1: OAT15 2D (headline, directly comparable to 26.93 s) --
+    # The full pipeline runs twice (run1 pays program loads; steady state
+    # is 2-20x faster), emitting after EVERY run so a stall between runs
+    # cannot lose the measurement.
+    n_snap = 50
+    phases = np.linspace(0, 2 * np.pi, n_snap, endpoint=False)
+    snaps = (metric[:, None]
+             * (1 + 0.2 * np.sin(phases)[None, :])).astype(np.float32)
+    times = [f"{t:.4f}" for t in np.arange(n_snap) * 5e-4]
+
+    def run_oat_pipeline():
+        s3, t_init, t_refine = run_refine_oat(xy, metric, poly, tmp, "bench")
+        t1 = time.perf_counter()
+        exp = ExportData(s3, write_times=times)
+        exp.export(xy, snaps[:, None, :], "Ma", n_snapshots_total=n_snap)
+        t_interp = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        write_svd_s_cube_to_file("Ma", tmp, "bench", new_file=False, rank=20,
+                                 n_modes=5)
+        t_svd = time.perf_counter() - t2
+        from sparsespatialsampling_tpu.utils import last_svd_timings
+        return (s3, exp, t_init, t_refine, t_interp, t_svd,
+                dict(last_svd_timings))
+
+    oat_runs = [run_oat_pipeline()]
+    emit_oat(rep, oat_runs)
+    oat_wall = sum(oat_runs[0][3:6])
+    while len(oat_runs) < 2 or (min(sum(r[3:6]) for r in oat_runs) > 6.0
+                                and len(oat_runs) < 3):
+        # second run always (warm steady state); third only as
+        # degraded-tunnel insurance (warm runs land at ~1.5-3 s; if both
+        # attempts miss that envelope by ~2x the wire is sick, not the
+        # kernels — one more attempt often lands in a healthier phase)
+        if not repeat_budget_ok(rep, oat_wall):
+            rep.emit(oat_repeat_skipped="budget")
+            break
+        oat_runs.append(run_oat_pipeline())
+        oat_wall = sum(oat_runs[-1][3:6])
+        emit_oat(rep, oat_runs)
+    rep.done("oat15_2d")
+
+    # -- workload 2: cylinder3D north-star (warm device) ------------------
+    if rep.remaining() > 60.0:
+        runs = [run_cylinder3d(tmp)]
+        emit_c3d(rep, runs)
+        c3d_wall = runs[0][1] + runs[0][2] + runs[0][3]
+        while len(runs) < 2 or (min(r[1] + r[2] + r[3] for r in runs) > 15.0
+                                and len(runs) < 3):
+            if not repeat_budget_ok(rep, c3d_wall):
+                rep.emit(c3d_repeat_skipped="budget")
+                break
+            runs.append(run_cylinder3d(tmp))
+            c3d_wall = runs[-1][1] + runs[-1][2] + runs[-1][3]
+            emit_c3d(rep, runs)
+        rep.done("cylinder3d")
+    else:
+        rep.emit(c3d_skipped="budget")
+
+    # -- workload 3: cylinder2D metric-target (tutorial-1 config) ---------
+    if rep.remaining() > 45.0:
+        c2d_runs = [run_cylinder2d_metric(tmp)]
+        emit_c2d(rep, c2d_runs, "c2d", C2D_BASELINE_S)
+        while len(c2d_runs) < 2 or (min(r[1] for r in c2d_runs) > 8.0
+                                    and len(c2d_runs) < 3):
+            if not repeat_budget_ok(rep, c2d_runs[-1][1]):
+                rep.emit(c2d_repeat_skipped="budget")
+                break
+            c2d_runs.append(run_cylinder2d_metric(tmp))
+            emit_c2d(rep, c2d_runs, "c2d", C2D_BASELINE_S)
+        rep.done("cylinder2d_metric")
+    else:
+        rep.emit(c2d_skipped="budget")
+
+    # -- workload 4: STL obstacle at the reference's 5e4-triangle scale ---
+    if rep.remaining() > 60.0:
+        stl_runs = [run_stl(tmp)]
+        emit_stl(rep, stl_runs)
+        while len(stl_runs) < 2 or (min(r[2] for r in stl_runs) > 12.0
+                                    and len(stl_runs) < 3):
+            if not repeat_budget_ok(rep, stl_runs[-1][2]):
+                rep.emit(stl_repeat_skipped="budget")
+                break
+            stl_runs.append(run_stl(tmp))
+            emit_stl(rep, stl_runs)
+        rep.done("stl")
+    else:
+        rep.emit(stl_skipped="budget")
+
+    # -- workload 5: cylinder2D max_delta_level (tutorial-3 config) -------
+    if rep.remaining() > 45.0:
+        mdl_runs = [run_cylinder2d_metric(tmp, max_delta_level=True)]
+        emit_c2d(rep, mdl_runs, "mdl", MDL_BASELINE_S)
+        while len(mdl_runs) < 2 or (min(r[1] for r in mdl_runs) > 8.0
+                                    and len(mdl_runs) < 3):
+            if not repeat_budget_ok(rep, mdl_runs[-1][1]):
+                rep.emit(mdl_repeat_skipped="budget")
+                break
+            mdl_runs.append(run_cylinder2d_metric(tmp, max_delta_level=True))
+            emit_c2d(rep, mdl_runs, "mdl", MDL_BASELINE_S)
+        rep.done("cylinder2d_max_delta_level")
+    else:
+        rep.emit(mdl_skipped="budget")
+
+    # -- workload 6: gather roofline --------------------------------------
+    # normalizes each workload's epoch gather GB/s against what random
+    # ~10 KB-row gathers can actually achieve on this chip
+    if rep.remaining() > 30.0:
+        peak = gather_roofline()
+        out = {"gather_peak_gbps": round(peak, 2)}
+        for prefix in ("", "c3d_", "c2d_", "stl_", "mdl_"):
+            g = rep.data.get(f"{prefix}epoch_gather_gbps")
+            if g is not None and peak > 0:
+                out[f"{prefix}epoch_gather_pct_of_peak"] = round(
+                    100.0 * g / peak, 1)
+        rep.emit(**out)
+        rep.done("gather_roofline")
+    else:
+        rep.emit(roofline_skipped="budget")
 
 
 if __name__ == "__main__":

@@ -80,8 +80,9 @@ class ExportData:
             self._write_times = write_times if isinstance(write_times, list) else [write_times]
         else:
             self._write_times = None
-            logger.warning("Argument ``write_times`` is ``None``. Make sure to set the "
-                           "``write_times`` before calling the ``export()`` method.")
+            logger.warning("No 'write_times' given yet — assign the "
+                           "'write_times' property before the first "
+                           "export() call.")
 
         self._interpolated_fields = Fields()
         self._field_name = None
@@ -94,11 +95,13 @@ class ExportData:
         self._t_start = time()
 
         if append_existing:
-            logger.info(f"Appending fields to file "
-                        f"{path.join(self._save_dir, self._save_name)}.h5")
+            logger.info(f"Opening existing file "
+                        f"{path.join(self._save_dir, self._save_name)}.h5 "
+                        f"to append additional fields.")
             if self._new_file:
-                logger.warning("Setting `write_new_file_for_each_field = False` since "
-                               "`append_existing` is given as `True`")
+                logger.warning("'append_existing=True' targets one shared file, so "
+                               "'write_new_file_for_each_field' is being "
+                               "turned off.")
                 self._new_file = False
 
         self._n_neighbors = (n_neighbors if n_neighbors is not None
@@ -158,9 +161,10 @@ class ExportData:
             auto-sizes to the largest chunk that fits device memory
         """
         if self._write_times is None:
-            raise ValueError("Couldn't find any ``write_times`` for export. Make sure to "
-                             "pass the write times when instantiating the export object or "
-                             "set it before calling the ``export`` method.")
+            raise ValueError(
+                "No write times are set for this export: supply them via the "
+                "'write_times' constructor argument or assign the "
+                "'write_times' property before exporting fields.")
 
         self._chunk_size = None if chunk_size is None else int(chunk_size)
         self._field_name = field_name
@@ -272,13 +276,14 @@ class ExportData:
         data = np.asarray(data)
         if data.ndim < 2:
             raise ValueError(
-                "The provided field must have the shape '[N_cells, N_dimensions, "
-                "N_snapshots]' for a vector field and '[N_cells, 1, N_snapshots]' for a "
-                f"scalar field. Found a dimension of {data.ndim} for parameter 'data'.")
+                f"'data' is {data.ndim}-dimensional but must be 3-D: "
+                "[N_cells, N_components, N_snapshots] (use N_components=1 "
+                "for scalar fields).")
         elif data.ndim == 2:
-            logger.warning(f"Detected a scalar field of the dimension of {data.ndim} as "
-                           f"input. Reshaping to the dimension of "
-                           f"'[N_cells, 1, N_snapshots]'.")
+            logger.warning("2-D 'data' given — treating it as a scalar "
+                           "field and inserting a component axis: "
+                           "[N_cells, N_snapshots] -> "
+                           "[N_cells, 1, N_snapshots].")
             data = data[:, None, :]
 
         # device path only: start the (async) snapshot upload BEFORE the
@@ -300,7 +305,7 @@ class ExportData:
             self.timings["t_weights"] += time() - t0
 
         if self._snapshot_counter == 0:
-            logger.info(f"Starting interpolation and export of field {self._field_name}.")
+            logger.info(f"Interpolating field {self._field_name} onto the S3 grid.")
             self._n_snapshots_total = (n_snapshots_total if n_snapshots_total is not None
                                        else data.shape[-1])
 
@@ -350,7 +355,7 @@ class ExportData:
         XDMF generation once all snapshots of the field are written
         (reference ``_write_data_to_hdf5``, ``export.py:233-319``)."""
         if not self._initialized_hdf5:
-            logger.info(f"Writing HDF5 file for field {self._field_name}.")
+            logger.info(f"Flushing field {self._field_name} to HDF5.")
             file_name = (f"{self._save_name}_{self._field_name}.h5" if self._new_file
                          else f"{self._save_name}.h5")
             self._datawriter = Datawriter(self._save_dir, file_name)
@@ -370,7 +375,7 @@ class ExportData:
             self._size_initial_cell = None
         else:
             if not self._new_file and self._datawriter is None:
-                logger.info(f"Writing HDF5 file for field {self._field_name}.")
+                logger.info(f"Flushing field {self._field_name} to HDF5.")
                 self._datawriter = Datawriter(self._save_dir,
                                               f"{self._save_name}.h5", mode="a")
             else:
@@ -405,6 +410,6 @@ class ExportData:
             if self._new_file:
                 self._initialized_hdf5 = False
 
-            logger.info(f"Finished export of field {self._field_name} in "
+            logger.info(f"Field {self._field_name} exported after "
                         f"{round(time() - self._t_start, 3)}s.")
             self._t_start = time()

@@ -73,6 +73,45 @@ def test_device_loop_engaged(monkeypatch):
     assert stats["n_calls_main"] < iters
 
 
+def _run_gridless(monkeypatch, device_loop: bool, **kwargs):
+    """Small cloud BELOW GRID_MIN_POINTS: no bucket grid is built, so the
+    device loop must engage through the exact full-scan core."""
+    monkeypatch.setenv("S3_TPU_DEVICE_LOOP", "1" if device_loop else "0")
+    rng = np.random.default_rng(7)
+    xy = rng.uniform([0, 0], [1, 1], size=(5000, 2))
+    metric = np.exp(-((xy[:, 0] - .4) ** 2
+                      + (xy[:, 1] - .6) ** 2) / .03) + 0.02
+    tmp = tempfile.mkdtemp()
+    s3 = SparseSpatialSampling(
+        xy, metric, [CubeGeometry("domain", True, [0, 0], [1, 1])],
+        save_path=tmp, save_name="g", uniform_levels=3, **kwargs)
+    s3.execute_grid_generation()
+    return s3
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"n_cells_max": 1200},
+    {"min_metric": 0.9},
+], ids=["cells-mode", "metric-mode"])
+def test_device_loop_fullscan_core_matches_host(monkeypatch, kwargs):
+    """Gridless (sub-GRID_MIN_POINTS) clouds run the loop with the
+    full-scan epoch core; the grids must be identical to the host path.
+    Regression: metric-mode runs on reference-tutorial-1-scale clouds
+    paid one tunnel round trip per adaptive iteration."""
+    a = _run_gridless(monkeypatch, device_loop=False, **kwargs)
+    b = _run_gridless(monkeypatch, device_loop=True, **kwargs)
+    ca, la = _grid_key(a)
+    cb, lb = _grid_key(b)
+    assert ca.shape == cb.shape
+    np.testing.assert_allclose(ca, cb)
+    np.testing.assert_array_equal(la, lb)
+    assert (a.data_final_mesh["iterations"]
+            == b.data_final_mesh["iterations"])
+    stats = b.data_final_mesh["epoch_stats"]
+    iters = b.data_final_mesh["adaptive_split"]["n_iter"]
+    assert iters > 3 and stats["n_calls_main"] < iters
+
+
 def test_device_loop_3d_stl_obstacle(monkeypatch, tmp_path):
     """3D device loop with an STL obstacle: the fused epoch inside the
     lax.while_loop evaluates the sign-grid winding test, and cells whose
