@@ -62,6 +62,39 @@ def _bucket(n: int, minimum: int = 512) -> int:
     return max(minimum, 1 << int(n - 1).bit_length())
 
 
+def _lex_less(a: tuple, b: tuple):
+    """Elementwise lexicographic ``a < b`` over tuples of equal-shape int
+    arrays (most-significant key first)."""
+    lt = a[-1] < b[-1]
+    for i in range(len(a) - 2, -1, -1):
+        lt = (a[i] < b[i]) | ((a[i] == b[i]) & lt)
+    return lt
+
+
+def _bsearch_eq(keys: tuple, queries: tuple, n_steps: int):
+    """Vectorized exact-match lookup of query tuples in lexicographically
+    sorted key tuples (the device-side leaf lookup for the in-loop 2:1
+    constraint — 64-bit Morton anchors don't fit device int32, so the key
+    is the raw (level, coords) tuple and the search is an unrolled
+    branchless binary search of ``n_steps`` gather/compare rounds).
+    Returns ``(pos, found)``; ``pos`` is the lower-bound index."""
+    n = keys[0].shape[0]
+    lo = jnp.zeros(queries[0].shape[0], jnp.int32)
+    hi = jnp.full(queries[0].shape[0], n, jnp.int32)
+    for _ in range(n_steps):
+        act = lo < hi
+        mid = jnp.minimum((lo + hi) >> 1, n - 1)
+        km = tuple(k[mid] for k in keys)
+        less = _lex_less(km, queries)
+        lo = jnp.where(act & less, mid + 1, lo)
+        hi = jnp.where(act & ~less, mid, hi)
+    pos = jnp.minimum(lo, n - 1)
+    found = lo < n
+    for k, q in zip(keys, queries):
+        found &= k[pos] == q
+    return pos, found
+
+
 def _corner_nodes_f32(coords, level, lo, width, offsets):
     """f32 corner nodes ``[M, 2^d, d]`` of integer lattice cells, built ON
     DEVICE (exact while lattice coords stay below 2^23) — the single traced
@@ -717,6 +750,13 @@ class SamplingTree:
         self._epoch_fn_ring = None
         self._epoch_query_cost = (knn._n_padded * d * 4.0,
                                   2.0 * knn._n_padded * d)
+        # device-resident adaptive loop over the mesh: the loop state stays
+        # replicated, the epoch core's shard_map distributes the k-NN —
+        # without this every sharded adaptive iteration pays a host round
+        # trip (the exact cost the loop exists to kill)
+        self._dil_core = fn
+        self._dil_core_args = args
+        self._dil_core_kind = "shard_full"
 
         g = getattr(knn, "_grid", None)
         if g is None or "dil_vals" not in g:
@@ -776,6 +816,9 @@ class SamplingTree:
             g["dil_pts"], g["dil_cand"], g["dil_ovf"], g["dil_vals"],
             g["origin"], g["inv_h"], g["dims"])
         self._epoch_fn = lambda c, l: jit_grid(c, l, *grid_args)
+        self._dil_core = fn_grid
+        self._dil_core_args = grid_args
+        self._dil_core_kind = "shard_grid"
         # plain VPU delta-sum scoring, 2 FLOPs/MAC (same convention as the
         # single-chip grid path)
         nnb, C = 3 ** d, g["C"]
@@ -1525,6 +1568,9 @@ class SamplingTree:
     # threshold boundary.
     _DEVICE_LOOP_ITERS = 64
     _DEVICE_LEVEL_CAP = 22
+    # transitive 2:1-expansion rounds unrolled inside the loop body; chains
+    # deeper than this guard-exit to the host's general expansion
+    _MDL_ROUNDS = 4
 
     def _adaptive_device_eligible(self) -> bool:
         import os
@@ -1532,8 +1578,7 @@ class SamplingTree:
         # run inside the device loop: their validity is merged on the host
         # AFTER each epoch readback, which the loop's in-program iterations
         # never see
-        return (not self._max_delta_level and self._mesh is None
-                and self._dil_core is not None
+        return (self._dil_core is not None
                 and not getattr(self, "_host_geos", ())
                 and not getattr(self, "_device_loop_disabled", False)
                 and os.environ.get("S3_TPU_DEVICE_LOOP", "1") != "0")
@@ -1557,8 +1602,8 @@ class SamplingTree:
         # budget masks the extra slots
         return _bucket(max(int(max(vals)), 1), minimum=64)
 
-    def _build_device_loop(self, cap: int, k_max: int):
-        key = (cap, k_max)
+    def _build_device_loop(self, cap: int, k_max: int, k_sel: int):
+        key = (cap, k_max, k_sel, self._max_delta_level)
         if key in self._device_loops:
             return self._device_loops[key]
         d = self._n_dimensions
@@ -1567,7 +1612,15 @@ class SamplingTree:
         lev_cap = self._DEVICE_LEVEL_CAP
         core = self._dil_core
         metric_mode = self._n_cells_max is None
+        mdl = self._max_delta_level
         offsets_i = jnp.asarray(self._offsets, dtype=jnp.int32)
+        # all 3^d - 1 neighbor directions (the reference's 8/26 nb slots)
+        nbdirs = np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d),
+                                      indexing="ij"), axis=-1).reshape(-1, d)
+        nbdirs_i = jnp.asarray(nbdirs[~(nbdirs == 0).all(axis=1)],
+                               dtype=jnp.int32)
+        bs_steps = int(cap).bit_length()
+        mdl_rounds = self._MDL_ROUNDS
 
         def loop_fn(state, params, *epoch_args):
             def stop_continue(s):
@@ -1617,23 +1670,99 @@ class SamplingTree:
                 topv, sel = jax.lax.top_k(masked, k_max)
                 pvalid = ((jnp.arange(k_max) < k_budget)
                           & (topv > -jnp.inf))
-                # children are appended in the host _select_top_k order:
-                # above-threshold parents ascending by creation index, then
-                # the at-threshold parents ascending (np.concatenate([above,
-                # at_thr]); lax.top_k's stable ties match at_thr[:need]) —
-                # UNLESS k >= n_alive, where the host returns all alive
-                # cells in plain ascending order
-                n_val = pvalid.sum()
-                thr = topv[jnp.maximum(n_val - 1, 0)]
-                all_mode = k_budget >= s["n_alive"]
-                bump = jnp.where(all_mode | (topv > thr), 0, cap + 1)
-                key = jnp.sort(jnp.where(pvalid, sel + bump, 3 * (cap + 1)))
-                pvalid = key < 2 * (cap + 1)
-                parents = jnp.where(pvalid, key % (cap + 1), cap)
+                if not mdl:
+                    # children are appended in the host _select_top_k order:
+                    # above-threshold parents ascending by creation index,
+                    # then the at-threshold parents ascending
+                    # (np.concatenate([above, at_thr]); lax.top_k's stable
+                    # ties match at_thr[:need]) — UNLESS k >= n_alive, where
+                    # the host returns all alive cells in plain ascending
+                    # order
+                    n_val = pvalid.sum()
+                    thr = topv[jnp.maximum(n_val - 1, 0)]
+                    all_mode = k_budget >= s["n_alive"]
+                    bump = jnp.where(all_mode | (topv > thr), 0, cap + 1)
+                    key = jnp.sort(jnp.where(pvalid, sel + bump,
+                                             3 * (cap + 1)))
+                    pvalid = key < 2 * (cap + 1)
+                    parents = jnp.where(pvalid, key % (cap + 1), cap)
+                    guard = k_budget > k_max
+                else:
+                    # --- in-program 2:1 constraint expansion (reference
+                    # _check_nb + _check_constraint, s_cube.py:447-506) ----
+                    # The adaptive phase starts from a uniform grid and
+                    # every iteration (host or device) refines the
+                    # transitive closure, so the 2:1 invariant holds
+                    # GLOBALLY here and an adjacent coarser leaf is EXACTLY
+                    # one level coarser: the violation test is membership
+                    # of (level-1, coords>>1) in the alive set — an exact
+                    # lookup, no Morton-range walk (whose 64-bit anchors
+                    # don't fit device int32 anyway).  A second probe at
+                    # level-2 guards the invariant assumption: a hit exits
+                    # to the host's general walk.  Selection/append order is
+                    # ascending creation index — the host path's
+                    # sorted(to_refine) after _expand_delta_level.
+                    rows_pay = jnp.arange(cap, dtype=jnp.int32)
+                    alive_c = s["alive"][:cap]
+                    key1 = jnp.where(
+                        alive_c,
+                        (s["level"][:cap] << 22) | s["coords"][:cap, 0],
+                        jnp.int32(2 ** 30))
+                    ops = jax.lax.sort(
+                        (key1, *(s["coords"][:cap, i] for i in range(1, d)),
+                         rows_pay), num_keys=d)
+                    skeys, srows = ops[:d], ops[d]
+
+                    def probe(fr, shift_down):
+                        fc, fl = s["coords"][fr], s["level"][fr]
+                        nb = fc[:, None, :] + nbdirs_i[None]   # [w, nd, d]
+                        inb = ((nb >= 0)
+                               & (nb < (1 << fl)[:, None, None])).all(-1)
+                        q_ok = ((fr != cap)[:, None] & inb
+                                & (fl[:, None] >= shift_down))
+                        ql = fl[:, None] - shift_down
+                        qc = nb >> shift_down
+                        qk1 = jnp.where(q_ok, (ql << 22) | qc[..., 0], -1)
+                        qs = (qk1.reshape(-1),
+                              *(jnp.where(q_ok, qc[..., i], -1).reshape(-1)
+                                for i in range(1, d)))
+                        pos, found = _bsearch_eq(skeys, qs, bs_steps)
+                        return jnp.where(found, srows[pos], cap), found
+
+                    seed = jnp.where(pvalid, sel, cap).astype(jnp.int32)
+                    sel_mask = (jnp.zeros(cap + 1, jnp.bool_)
+                                .at[seed].set(True).at[cap].set(False))
+                    fr = jnp.concatenate(
+                        [seed, jnp.full((k_sel - k_max,), cap, jnp.int32)])
+                    guard = k_budget > k_max
+                    arangec = jnp.arange(cap, dtype=jnp.float32)
+                    n_round = jnp.int32(0)
+                    for _ in range(mdl_rounds):
+                        orow, _ = probe(fr, 1)
+                        _, found2 = probe(fr, 2)
+                        guard |= found2.any()       # invariant broken
+                        before = sel_mask
+                        sel_mask = (sel_mask.at[orow.reshape(-1)].set(True)
+                                    .at[cap].set(False))
+                        newmask = sel_mask[:cap] & ~before[:cap]
+                        n_round = newmask.sum()
+                        score = (newmask.astype(jnp.float32) * 2.0
+                                 - arangec / cap)
+                        sv, fr = jax.lax.top_k(score, k_sel)
+                        fr = jnp.where(sv > 1.0, fr, cap).astype(jnp.int32)
+                        guard |= n_round > k_sel    # frontier truncated
+                    # adds in the final round leave unchecked frontiers
+                    guard |= n_round > 0
+                    n_sel = sel_mask[:cap].sum()
+                    guard |= n_sel > k_sel
+                    score = (sel_mask[:cap].astype(jnp.float32) * 2.0
+                             - arangec / cap)
+                    sv, parents = jax.lax.top_k(score, k_sel)
+                    pvalid = sv > 1.0
+                    parents = jnp.where(pvalid, parents, cap)
                 plevel = s["level"][parents]
-                guard = ((k_budget > k_max)
-                         | (jnp.where(pvalid, plevel, 0).max() + 1
-                            > lev_cap))
+                guard = guard | (jnp.where(pvalid, plevel, 0).max() + 1
+                                 > lev_cap)
 
                 # The iteration runs STRAIGHT-LINE with the guard applied by
                 # predication: every scatter redirects to the sentinel row
@@ -1717,14 +1846,19 @@ class SamplingTree:
             return jax.lax.while_loop(cond, body, state)
 
         # the loop's trace is fully determined by (cap, k_max, metric_mode)
-        # plus everything the dilated epoch core traces (d, k, tiles, fused
-        # geometry content) — share the compiled loop across runs
-        ekey = (d, self._n_neighbors, self._knn._tile_n, self._knn._tile_q,
+        # plus everything the epoch core traces (d, k, tiles, fused geometry
+        # content, mesh shape for the sharded cores) — share the compiled
+        # loop across runs
+        ekey = (d, self._n_neighbors,
+                getattr(self._knn, "_tile_n", 0),
+                getattr(self._knn, "_tile_q", 0),
+                tuple(self._mesh.devices.shape) if self._mesh is not None
+                else (),
                 tuple(g.cache_key for g in
                       getattr(self, "_fused_geos", self._geometry)))
         fn = cached_jit(
-            ("devloop", self._dil_core_kind, cap, k_max, metric_mode,
-             iters_cap, lev_cap) + ekey,
+            ("devloop", self._dil_core_kind, cap, k_max, k_sel, mdl,
+             metric_mode, iters_cap, lev_cap, mdl_rounds) + ekey,
             lambda: jax.jit(loop_fn))
         self._device_loops[key] = fn
         return fn
@@ -1736,9 +1870,14 @@ class SamplingTree:
         d = self._n_dimensions
         n_ch = 2 ** d
         k_max = self._device_loop_kmax()
+        # selection width: with the 2:1 constraint the expansion can add
+        # coarser neighbors on top of the budgeted top-k — give it 4x slack
+        # (overflow guard-exits to the host's general expansion)
+        k_sel = (k_max if not self._max_delta_level
+                 else _bucket(4 * k_max, minimum=256))
         # the in-loop epoch has no chunking: its per-iteration program runs
-        # k_max*2^d cells at once, so the per-call worker-safety caps the
-        # host path enforces via _EPOCH_CHUNK must hold for k_max itself.
+        # k_sel*2^d cells at once, so the per-call worker-safety caps the
+        # host path enforces via _EPOCH_CHUNK must hold for k_sel itself.
         # A budget ramp that exceeds them disables the device path for the
         # rest of the run (sticky — the ramp bound only grows).  The 2x
         # headroom is query-count-bound (the crash threshold is ~295k+
@@ -1749,9 +1888,9 @@ class SamplingTree:
         g = getattr(self._knn, "_grid", None)
         if d == 3 and g is not None and g.get("C", 64) > 32:
             safe = _EPOCH_CHUNK[d]
-        if k_max * n_ch > safe:
+        if k_sel * n_ch > safe:
             logger.info("Device adaptive loop disabled: per-iteration "
-                        f"budget bound {k_max} exceeds the worker-safe "
+                        f"budget bound {k_sel} exceeds the worker-safe "
                         "epoch size.")
             self._device_loop_disabled = True
             return 0
@@ -1768,9 +1907,9 @@ class SamplingTree:
             if (sel.size and int(self._level[sel].max()) + 1
                     > self._DEVICE_LEVEL_CAP):
                 return 0
-        need = self._n_cells + self._DEVICE_LOOP_ITERS * k_max * n_ch + 1
+        need = self._n_cells + self._DEVICE_LOOP_ITERS * k_sel * n_ch + 1
         cap = max(4096, 1 << (need - 1).bit_length())
-        fn = self._build_device_loop(cap, k_max)
+        fn = self._build_device_loop(cap, k_max, k_sel)
         metric_mode = self._n_cells_max is None
 
         n0 = self._n_cells
@@ -1828,7 +1967,7 @@ class SamplingTree:
             "alive": alive_d, "gain": gain_d,
             "metric": metric_d,
             "bad": jnp.zeros(cap + 1, dtype=jnp.bool_),
-            "psel": jnp.full((self._DEVICE_LOOP_ITERS, k_max), cap,
+            "psel": jnp.full((self._DEVICE_LOOP_ITERS, k_sel), cap,
                              dtype=jnp.int32),
             "ms": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.float32),
             "ns": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.int32),
@@ -1854,6 +1993,14 @@ class SamplingTree:
             "cps_end": jnp.float32(self._cells_per_iter_end),
             "tnorm": jnp.float32(self._target_norm),
         }
+        if self._mesh is not None:
+            # replicate the loop state over the mesh explicitly: the packed
+            # upload above is committed to the default device, which the
+            # sharded epoch core's multi-device program would reject
+            from jax.sharding import NamedSharding, PartitionSpec
+            rep = NamedSharding(self._mesh, PartitionSpec())
+            state = jax.device_put(state, rep)
+            params = jax.device_put(params, rep)
 
         st = self._epoch_stats
         t0 = time()
@@ -1878,7 +2025,7 @@ class SamplingTree:
             n_words = (cap + 1 + 31) // 32
             alive_bits = res[off:off + n_words].view(np.uint32)
             bad_bits = res[off + n_words:off + 2 * n_words].view(np.uint32)
-            psel = res[off + 2 * n_words:].reshape(iters, k_max)
+            psel = res[off + 2 * n_words:].reshape(iters, k_sel)
             # split replay: reconstruct the new rows' coords/levels with
             # the same integer arithmetic the device ran — children are
             # appended in selection order × child-offset order, so the

@@ -16,7 +16,8 @@ from jax import shard_map
 
 from .mesh import CELL_AXIS, pad_to_multiple
 from ..ops.knn import (MAX_QUERY_CHUNK, _bucket_pow2, _sort_neighbors,
-                       _plan_grid, _grid_neighbor_table)
+                       _plan_grid, _grid_neighbor_table, _grid_query_margin,
+                       _dilated_select, _overflow_contaminated)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -159,8 +160,53 @@ class ShardedKNNIndex:
         self._query_fn = jax.jit(fn)
         self._k = k
 
-    def query(self, queries, k: int):
-        """Exact k-NN: ``(dists [Q, k], idx [Q, k])`` (numpy).
+    # per-chunk query width on the grid path (bounds the [Q, 3^d·C, d]
+    # per-device gather temp, the same wall the single-chip 3D path hits)
+    GRID_CHUNK = {2: 32768, 3: 8192}
+
+    def _build_grid_query(self, k: int):
+        """Row-sharded dilated-grid query kernel: each device answers the
+        queries whose home cell falls in its contiguous flat-row range
+        (same owner/psum combination as the engine's sharded epoch kernel,
+        ``engine/tree.py::_build_epoch_fn_sharded``); non-owned lanes read
+        one hot local row and are masked out of the psum.  Only the index
+        block and the exactness bitmap come back — distances are
+        recomputed host-side from the selected neighbors."""
+        if getattr(self, "_grid_query_fns", None) is None:
+            self._grid_query_fns = {}
+        if k in self._grid_query_fns:
+            return self._grid_query_fns[k]
+        g = self._grid
+        rows_per_dev = g["rows"] // self.n_shards
+        n_sentinel = g["n_cells"]
+
+        def kernel(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h,
+                   dims):
+            me = jax.lax.axis_index(CELL_AXIS)
+            flat, margin_sq = _grid_query_margin(queries, origin, inv_h,
+                                                 dims, n_sentinel)
+            own = (flat // rows_per_dev) == me
+            lflat = jnp.where(own, flat - me * rows_per_dev, 0)
+            sq, idx, _ = _dilated_select(queries, dil_pts, dil_cand,
+                                         lflat, k)
+            okq = own & (sq.max(axis=1) <= margin_sq) \
+                & ~_overflow_contaminated(queries, dil_ovf[lflat],
+                                          sq.max(axis=1), origin, inv_h)
+            # exactly one owner per query → psum reconstructs its values
+            idx = jax.lax.psum(jnp.where(own[:, None], idx, 0), CELL_AXIS)
+            ok = jax.lax.psum(okq.astype(jnp.int32), CELL_AXIS) > 0
+            return idx, ok
+
+        fn = jax.jit(shard_map(
+            kernel, mesh=self.mesh,
+            in_specs=(P(), P(CELL_AXIS), P(CELL_AXIS), P(CELL_AXIS),
+                      P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+        self._grid_query_fns[k] = fn
+        return fn
+
+    def _query_full(self, q: np.ndarray, k: int) -> np.ndarray:
+        """Sharded full-scan k-NN over centered queries; returns idx.
 
         Queries are chunked (≤ MAX_QUERY_CHUNK per device call — oversized
         single programs can crash the TPU worker) and padded to power-of-two
@@ -169,17 +215,56 @@ class ShardedKNNIndex:
         async dispatch."""
         if self._query_fn is None or self._k != k:
             self._build(k)
-        q = np.asarray(queries, dtype=np.float32) - self._shift
         pending = []
         for lo in range(0, max(q.shape[0], 1), MAX_QUERY_CHUNK):
             chunk = q[lo:lo + MAX_QUERY_CHUNK]
             n = chunk.shape[0]
-            qarr = np.zeros((_bucket_pow2(n, 256), self.n_dim), dtype=np.float32)
+            qarr = np.zeros((_bucket_pow2(n, 256), self.n_dim),
+                            dtype=np.float32)
             qarr[:n] = chunk
             pending.append(
                 (n, self._query_fn(jnp.asarray(qarr), self._points,
                                    self._points_sq)))
-        idx = np.concatenate([np.asarray(fut[1])[:n] for n, fut in pending])
+        return np.concatenate([np.asarray(fut[1])[:n] for n, fut in pending])
+
+    def query(self, queries, k: int):
+        """Exact k-NN: ``(dists [Q, k], idx [Q, k])`` (numpy).
+
+        Uses the row-sharded dilated grid when available (one self-contained
+        row gather per query instead of a 1/n_dev slice of the full cloud);
+        queries whose k-th neighbor cannot be certified exact from the 3^d
+        neighborhood (margin/overflow test, identical to the single-chip
+        grid path) are re-answered by the sharded full scan, so results are
+        exact and in canonical ascending (distance², index) order either
+        way."""
+        q = np.asarray(queries, dtype=np.float32) - self._shift
+        n = q.shape[0]
+        g = self._grid
+        use_grid = (g is not None and n > 0
+                    and k <= (3 ** self.n_dim) * g["C"])
+        if use_grid:
+            fn = self._build_grid_query(k)
+            chunk = self.GRID_CHUNK[self.n_dim]
+            pending = []
+            for lo in range(0, n, chunk):
+                piece = q[lo:lo + chunk]
+                m = piece.shape[0]
+                qarr = np.zeros((_bucket_pow2(m, 256), self.n_dim),
+                                dtype=np.float32)
+                qarr[:m] = piece
+                pending.append((m, fn(jnp.asarray(qarr), g["dil_pts"],
+                                      g["dil_cand"], g["dil_ovf"],
+                                      g["origin"], g["inv_h"], g["dims"])))
+            idx = np.concatenate(
+                [np.asarray(p[0])[:m] for m, p in pending])
+            ok = np.concatenate([np.asarray(p[1])[:m] for m, p in pending])
+            bad = np.nonzero(~ok)[0]
+            self.last_fallback = int(bad.size)
+            if bad.size:
+                idx[bad] = self._query_full(q[bad], k)
+        else:
+            self.last_fallback = n if g is not None else 0
+            idx = self._query_full(q, k)
         # exact distances recomputed host-side on the selected neighbors only
         delta = q[:, None, :] - self._points_host[idx]
         dists = np.sqrt(np.maximum((delta * delta).sum(-1), 0.0))

@@ -46,7 +46,9 @@ def _grid_key(s3):
 @pytest.mark.parametrize("kwargs", [
     {"n_cells_max": 2000},
     {"min_metric": 0.9},
-], ids=["cells-mode", "metric-mode"])
+    {"n_cells_max": 2000, "max_delta_level": True},
+    {"min_metric": 0.9, "max_delta_level": True},
+], ids=["cells-mode", "metric-mode", "cells-mode-2to1", "metric-mode-2to1"])
 def test_device_loop_matches_host_loop(monkeypatch, kwargs):
     a = _run(monkeypatch, device_loop=False, **kwargs)
     b = _run(monkeypatch, device_loop=True, **kwargs)
@@ -62,10 +64,15 @@ def test_device_loop_matches_host_loop(monkeypatch, kwargs):
                                rtol=1e-5)
 
 
-def test_device_loop_engaged(monkeypatch):
+@pytest.mark.parametrize("kwargs", [
+    {"n_cells_max": 2000},
+    {"n_cells_max": 2000, "max_delta_level": True},
+], ids=["plain", "2to1"])
+def test_device_loop_engaged(monkeypatch, kwargs):
     """The eligible configuration must actually run iterations on device
-    (one main call batching many iterations), not fall back silently."""
-    b = _run(monkeypatch, device_loop=True, n_cells_max=2000)
+    (one main call batching many iterations), not fall back silently —
+    including with the 2:1 constraint, whose expansion runs in-program."""
+    b = _run(monkeypatch, device_loop=True, **kwargs)
     stats = b.data_final_mesh["epoch_stats"]
     iters = b.data_final_mesh["adaptive_split"]["n_iter"]
     # far fewer device calls than iterations == the loop is batching
@@ -92,7 +99,8 @@ def _run_gridless(monkeypatch, device_loop: bool, **kwargs):
 @pytest.mark.parametrize("kwargs", [
     {"n_cells_max": 1200},
     {"min_metric": 0.9},
-], ids=["cells-mode", "metric-mode"])
+    {"min_metric": 0.9, "max_delta_level": True},
+], ids=["cells-mode", "metric-mode", "metric-mode-2to1"])
 def test_device_loop_fullscan_core_matches_host(monkeypatch, kwargs):
     """Gridless (sub-GRID_MIN_POINTS) clouds run the loop with the
     full-scan epoch core; the grids must be identical to the host path.

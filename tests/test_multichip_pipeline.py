@@ -127,6 +127,22 @@ class TestShardedPipelineEquivalence:
         np.testing.assert_array_equal(tree_m.all_levels, tree_s.all_levels)
         np.testing.assert_allclose(tree_m.all_centers, tree_s.all_centers)
 
+    def test_sharded_device_loop_engaged(self, sharded, monkeypatch):
+        """The device-resident adaptive loop must batch iterations over the
+        mesh too (one device call for many iterations) — previously every
+        sharded iteration paid a host round trip."""
+        from sparsespatialsampling_tpu.engine.tree import SamplingTree
+        pts, metric = _cloud(n=4000, d=2, seed=5)
+        tree = SamplingTree(pts, metric,
+                            [CubeGeometry("domain", True, [0, 0], [1, 1])],
+                            uniform_level=3, min_metric=0.9)
+        assert tree._mesh is not None
+        tree.refine()
+        asplit = tree._times["adaptive_split"]
+        stats = tree._epoch_stats
+        assert asplit["n_iter"] > 3
+        assert stats["n_calls_main"] < asplit["n_iter"]
+
     def test_sharded_grid_epoch_beats_sharded_fullscan(self, sharded,
                                                        monkeypatch):
         """VERDICT r2 missing #4: the sharded refinement previously had ONLY

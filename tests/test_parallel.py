@@ -33,6 +33,34 @@ def test_sharded_knn_matches_single_device(mesh):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_grid_query_matches_fullscan(mesh, monkeypatch):
+    """The row-sharded dilated grid now serves ``query`` too (previously
+    built but only wired into the engine's epoch kernel): results must
+    match the sharded full scan, with the exact-fallback only firing for
+    the rows whose 3^d-neighborhood certificate fails."""
+    monkeypatch.setattr(ShardedKNNIndex, "GRID_MIN_POINTS", 1000)
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(size=(6000, 2)).astype(np.float32)
+    q = rng.uniform(0.05, 0.95, size=(700, 2)).astype(np.float32)
+
+    grid = ShardedKNNIndex(pts, mesh)
+    assert grid._grid is not None
+    d_grid, i_grid = grid.query(q, 8)
+    assert grid.last_fallback < q.shape[0] // 2  # grid answered the bulk
+
+    monkeypatch.setattr(ShardedKNNIndex, "GRID_MIN_POINTS", 10 ** 9)
+    full = ShardedKNNIndex(pts, mesh)
+    assert full._grid is None
+    d_full, i_full = full.query(q, 8)
+
+    np.testing.assert_allclose(np.sort(d_grid, 1), np.sort(d_full, 1),
+                               rtol=1e-5, atol=1e-6)
+    # identical neighbor SETS row-for-row (order can differ only on exact
+    # distance ties, which the canonical (d², idx) order also pins — assert
+    # full equality and fall back to set equality only if ties exist)
+    np.testing.assert_array_equal(np.sort(i_grid, 1), np.sort(i_full, 1))
+
+
 def test_sharded_knn_predict_matches_sklearn(mesh):
     sklearn = pytest.importorskip("sklearn.neighbors")
     rng = np.random.default_rng(1)
