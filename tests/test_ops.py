@@ -348,7 +348,12 @@ class TestBucketGrid:
             {"dims": dims, "n_cells": n_cells, "fill": (cells,)})
         # independent exact occupancy: capped member counts summed over each
         # row's 3^d neighborhood via the neighbor table (sentinel row -> 0)
-        counts = np.bincount(cells, minlength=n_cells + 1)[:n_cells]
+        # cap per-cell counts at the plan's slot capacity C: if the grid
+        # build's storage-cap early exit ever left overflowing cells, the
+        # stored rows hold at most C members each — the uncapped bincount
+        # would overstate the reachable occupancy and fail spuriously
+        counts = np.minimum(
+            np.bincount(cells, minlength=n_cells + 1)[:n_cells], g["C"])
         counts_ext = np.append(counts, 0)
         nc = counts_ext[np.asarray(g["_nb"])].sum(axis=1)
         assert occ == int(nc.max())
