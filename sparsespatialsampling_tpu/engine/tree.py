@@ -28,6 +28,7 @@ run on the accelerator with bucketed static shapes.
 """
 import logging
 import operator
+import os
 from functools import partial, reduce
 from time import time
 from typing import Union
@@ -95,6 +96,81 @@ def _bsearch_eq(keys: tuple, queries: tuple, n_steps: int):
     return pos, found
 
 
+def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
+                nbdirs_i, rounds):
+    """In-program transitive 2:1 constraint expansion (reference
+    ``_check_nb`` + ``_check_constraint``, s_cube.py:447-506), shared by
+    the adaptive and geometry device-resident loops.
+
+    Refinement under the constraint starts from a uniform grid and every
+    iteration (host or device) refines the transitive closure, so the 2:1
+    invariant holds GLOBALLY and an adjacent coarser leaf is EXACTLY one
+    level coarser: the violation test is membership of
+    ``(level-1, coords>>1)`` in the alive set — an exact lookup, no
+    Morton-range walk (whose 64-bit anchors don't fit device int32
+    anyway).  A second probe at level-2 guards the invariant assumption: a
+    hit sets ``guard`` and the caller's host path takes over with its
+    general walk.  Selection/append order is ascending creation index —
+    the host path's ``sorted(to_refine)`` after ``_expand_delta_level``.
+
+    :param seed: ``[k_seed]`` initially selected rows (sentinel ``cap``)
+    :return: ``(parents [k_sel] ascending with sentinel cap,
+        pvalid [k_sel], guard)``
+    """
+    rows_pay = jnp.arange(cap, dtype=jnp.int32)
+    key1 = jnp.where(alive[:cap],
+                     (level[:cap] << 22) | coords[:cap, 0],
+                     jnp.int32(2 ** 30))
+    ops = jax.lax.sort(
+        (key1, *(coords[:cap, i] for i in range(1, d)), rows_pay),
+        num_keys=d)
+    skeys, srows = ops[:d], ops[d]
+
+    def probe(fr, shift_down):
+        fc, fl = coords[fr], level[fr]
+        nb = fc[:, None, :] + nbdirs_i[None]          # [w, nd, d]
+        inb = ((nb >= 0) & (nb < (1 << fl)[:, None, None])).all(-1)
+        q_ok = ((fr != cap)[:, None] & inb & (fl[:, None] >= shift_down))
+        ql = fl[:, None] - shift_down
+        qc = nb >> shift_down
+        qk1 = jnp.where(q_ok, (ql << 22) | qc[..., 0], -1)
+        qs = (qk1.reshape(-1),
+              *(jnp.where(q_ok, qc[..., i], -1).reshape(-1)
+                for i in range(1, d)))
+        pos, found = _bsearch_eq(skeys, qs, bs_steps)
+        return jnp.where(found, srows[pos], cap), found
+
+    sel_mask = (jnp.zeros(cap + 1, jnp.bool_)
+                .at[seed].set(True).at[cap].set(False))
+    k_seed = seed.shape[0]
+    fr = (seed if k_seed == k_sel else jnp.concatenate(
+        [seed, jnp.full((k_sel - k_seed,), cap, jnp.int32)]))
+    guard = jnp.bool_(False)
+    arangec = jnp.arange(cap, dtype=jnp.float32)
+    n_round = jnp.int32(0)
+    for _ in range(rounds):
+        orow, _ = probe(fr, 1)
+        _, found2 = probe(fr, 2)
+        guard |= found2.any()           # invariant broken
+        before = sel_mask
+        sel_mask = (sel_mask.at[orow.reshape(-1)].set(True)
+                    .at[cap].set(False))
+        newmask = sel_mask[:cap] & ~before[:cap]
+        n_round = newmask.sum()
+        score = newmask.astype(jnp.float32) * 2.0 - arangec / cap
+        sv, fr = jax.lax.top_k(score, k_sel)
+        fr = jnp.where(sv > 1.0, fr, cap).astype(jnp.int32)
+        guard |= n_round > k_sel        # frontier truncated
+    # adds in the final round leave unchecked frontiers
+    guard |= n_round > 0
+    guard |= sel_mask[:cap].sum() > k_sel
+    score = sel_mask[:cap].astype(jnp.float32) * 2.0 - arangec / cap
+    sv, parents = jax.lax.top_k(score, k_sel)
+    pvalid = sv > 1.0
+    parents = jnp.where(pvalid, parents, cap)
+    return parents, pvalid, guard
+
+
 def _corner_nodes_f32(coords, level, lo, width, offsets):
     """f32 corner nodes ``[M, 2^d, d]`` of integer lattice cells, built ON
     DEVICE (exact while lattice coords stay below 2^23) — the single traced
@@ -153,6 +229,19 @@ def _bitpack(flags):
     weights = jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)
     return (a.reshape(-1, 32).astype(jnp.uint32) * weights).sum(
         axis=1, dtype=jnp.uint32)
+
+
+@jax.jit
+def _pack_geo_result(it, fill, maxlev, n_fr, fr_ok, fr, alive, psel):
+    """Pack the geometry device loop's results (levels run, fill, max
+    level, next-frontier rows + validity, alive bitmap, per-level parent
+    history) into one int32 vector — one readback for the whole phase."""
+    head = jnp.stack([it, fill, maxlev, n_fr,
+                      fr_ok.astype(jnp.int32)]).astype(jnp.int32)
+    return jnp.concatenate([
+        head, fr.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(_bitpack(alive), jnp.int32),
+        psel.reshape(-1)])
 
 
 @jax.jit
@@ -1688,78 +1777,11 @@ class SamplingTree:
                     parents = jnp.where(pvalid, key % (cap + 1), cap)
                     guard = k_budget > k_max
                 else:
-                    # --- in-program 2:1 constraint expansion (reference
-                    # _check_nb + _check_constraint, s_cube.py:447-506) ----
-                    # The adaptive phase starts from a uniform grid and
-                    # every iteration (host or device) refines the
-                    # transitive closure, so the 2:1 invariant holds
-                    # GLOBALLY here and an adjacent coarser leaf is EXACTLY
-                    # one level coarser: the violation test is membership
-                    # of (level-1, coords>>1) in the alive set — an exact
-                    # lookup, no Morton-range walk (whose 64-bit anchors
-                    # don't fit device int32 anyway).  A second probe at
-                    # level-2 guards the invariant assumption: a hit exits
-                    # to the host's general walk.  Selection/append order is
-                    # ascending creation index — the host path's
-                    # sorted(to_refine) after _expand_delta_level.
-                    rows_pay = jnp.arange(cap, dtype=jnp.int32)
-                    alive_c = s["alive"][:cap]
-                    key1 = jnp.where(
-                        alive_c,
-                        (s["level"][:cap] << 22) | s["coords"][:cap, 0],
-                        jnp.int32(2 ** 30))
-                    ops = jax.lax.sort(
-                        (key1, *(s["coords"][:cap, i] for i in range(1, d)),
-                         rows_pay), num_keys=d)
-                    skeys, srows = ops[:d], ops[d]
-
-                    def probe(fr, shift_down):
-                        fc, fl = s["coords"][fr], s["level"][fr]
-                        nb = fc[:, None, :] + nbdirs_i[None]   # [w, nd, d]
-                        inb = ((nb >= 0)
-                               & (nb < (1 << fl)[:, None, None])).all(-1)
-                        q_ok = ((fr != cap)[:, None] & inb
-                                & (fl[:, None] >= shift_down))
-                        ql = fl[:, None] - shift_down
-                        qc = nb >> shift_down
-                        qk1 = jnp.where(q_ok, (ql << 22) | qc[..., 0], -1)
-                        qs = (qk1.reshape(-1),
-                              *(jnp.where(q_ok, qc[..., i], -1).reshape(-1)
-                                for i in range(1, d)))
-                        pos, found = _bsearch_eq(skeys, qs, bs_steps)
-                        return jnp.where(found, srows[pos], cap), found
-
                     seed = jnp.where(pvalid, sel, cap).astype(jnp.int32)
-                    sel_mask = (jnp.zeros(cap + 1, jnp.bool_)
-                                .at[seed].set(True).at[cap].set(False))
-                    fr = jnp.concatenate(
-                        [seed, jnp.full((k_sel - k_max,), cap, jnp.int32)])
-                    guard = k_budget > k_max
-                    arangec = jnp.arange(cap, dtype=jnp.float32)
-                    n_round = jnp.int32(0)
-                    for _ in range(mdl_rounds):
-                        orow, _ = probe(fr, 1)
-                        _, found2 = probe(fr, 2)
-                        guard |= found2.any()       # invariant broken
-                        before = sel_mask
-                        sel_mask = (sel_mask.at[orow.reshape(-1)].set(True)
-                                    .at[cap].set(False))
-                        newmask = sel_mask[:cap] & ~before[:cap]
-                        n_round = newmask.sum()
-                        score = (newmask.astype(jnp.float32) * 2.0
-                                 - arangec / cap)
-                        sv, fr = jax.lax.top_k(score, k_sel)
-                        fr = jnp.where(sv > 1.0, fr, cap).astype(jnp.int32)
-                        guard |= n_round > k_sel    # frontier truncated
-                    # adds in the final round leave unchecked frontiers
-                    guard |= n_round > 0
-                    n_sel = sel_mask[:cap].sum()
-                    guard |= n_sel > k_sel
-                    score = (sel_mask[:cap].astype(jnp.float32) * 2.0
-                             - arangec / cap)
-                    sv, parents = jax.lax.top_k(score, k_sel)
-                    pvalid = sv > 1.0
-                    parents = jnp.where(pvalid, parents, cap)
+                    parents, pvalid, gmdl = _mdl_expand(
+                        s["coords"], s["level"], s["alive"], seed,
+                        cap, d, k_sel, bs_steps, nbdirs_i, mdl_rounds)
+                    guard = (k_budget > k_max) | gmdl
                 plevel = s["level"][parents]
                 guard = guard | (jnp.where(pvalid, plevel, 0).max() + 1
                                  > lev_cap)
@@ -2241,6 +2263,201 @@ class SamplingTree:
     # ------------------------------------------------------------------ #
     # geometry refinement                                                 #
     # ------------------------------------------------------------------ #
+    # levels per device dispatch of the geometry-refinement loop
+    _GEO_LOOP_LEVELS = 8
+
+    def _build_geometry_loop(self, cap: int, k_geo: int, g):
+        """Device-resident geometry-refinement loop: the level-by-level
+        surface refinement (reference ``s_cube.py:774-863``) runs as one
+        ``lax.while_loop`` — per level: frontier filter (+ in-program 2:1
+        expansion when the constraint is on), predicated split, fused
+        (invalid, surface) geometry flags for the children, next frontier.
+        The host previously paid one tunnel round trip per level (~40 ms
+        each; the whole phase is a handful of microsecond-scale kernels)."""
+        key = ("geo", cap, k_geo, id(g))
+        if key in self._device_loops:
+            return self._device_loops[key]
+        d = self._n_dimensions
+        n_ch = 2 ** d
+        L = self._GEO_LOOP_LEVELS
+        lev_cap = min(self._DEVICE_LEVEL_CAP, 22)
+        mdl = self._max_delta_level
+        mdl_rounds = self._MDL_ROUNDS
+        bs_steps = int(cap).bit_length()
+        offsets_i = jnp.asarray(self._offsets, dtype=jnp.int32)
+        nbdirs = np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d),
+                                      indexing="ij"), axis=-1).reshape(-1, d)
+        nbdirs_i = jnp.asarray(nbdirs[~(nbdirs == 0).all(axis=1)],
+                               dtype=jnp.int32)
+        check_cells = g.check_cells
+
+        def loop_fn(state, gmax, lo32, offs32, w32):
+            def cond(s):
+                return ((s["gcur"] < gmax) & (s["n_fr"] > 0)
+                        & (s["it"] < L) & ~s["flag"])
+
+            def body(s):
+                fr = s["fr"]
+                to_mask = (fr != cap) & (s["level"][fr] < gmax)
+                if not mdl:
+                    parents = jnp.sort(jnp.where(to_mask, fr, cap))
+                    pvalid = parents < cap
+                    guard = jnp.bool_(False)
+                else:
+                    seed = jnp.where(to_mask, fr, cap)
+                    parents, pvalid, guard = _mdl_expand(
+                        s["coords"], s["level"], s["alive"], seed,
+                        cap, d, k_geo, bs_steps, nbdirs_i, mdl_rounds)
+                plevel = s["level"][parents]
+                guard = guard | (jnp.where(pvalid, plevel, 0).max() + 1
+                                 > lev_cap)
+
+                # predicated split (same discipline as the adaptive loop:
+                # a guarded level redirects every scatter to the sentinel
+                # row and keeps every scalar, so the host replays it)
+                coords, level, alive = s["coords"], s["level"], s["alive"]
+                pvalid = pvalid & ~guard
+                alive = alive.at[jnp.where(guard, cap, parents)].set(False)
+                j = jnp.cumsum(pvalid.astype(jnp.int32)) - 1
+                rows = jnp.where(
+                    pvalid[:, None],
+                    s["fill"] + j[:, None] * n_ch
+                    + jnp.arange(n_ch)[None, :], cap)        # [k_geo, 2^d]
+                ccoords = (coords[parents][:, None, :] * 2
+                           + offsets_i[None, :, :])
+                clevel = plevel + 1
+                rows_f = rows.reshape(-1)
+                coords = coords.at[rows_f].set(ccoords.reshape(-1, d))
+                level = level.at[rows_f].set(jnp.repeat(clevel, n_ch))
+
+                # fused (invalid, surface) flags of the children w.r.t.
+                # THIS geometry only (reference semantics, s_cube.py:850);
+                # the per-node inside masks are shared by XLA CSE
+                nodes = _corner_nodes_f32(
+                    ccoords.reshape(-1, d), jnp.repeat(clevel, n_ch),
+                    lo32, w32, offs32)
+                inv = check_cells(nodes, False)
+                surf = check_cells(nodes, True)
+                slot = jnp.repeat(pvalid, n_ch)
+                galive = slot & ~inv
+                alive = alive.at[rows_f].set(galive)
+
+                nxt = galive & surf
+                n_fr2 = nxt.sum()
+                fr2 = jnp.sort(jnp.where(nxt, rows_f, cap))[:k_geo]
+                # frontier overflow: this level still completed exactly —
+                # the truncated frontier just cannot seed the NEXT level,
+                # so exit with fr_ok=False and let the host recompute it
+                over = n_fr2 > k_geo
+                adv = (~guard).astype(jnp.int32)
+                it_w = jnp.where(guard, L, s["it"])
+
+                s3 = dict(s)
+                s3.update(
+                    coords=coords, level=level, alive=alive,
+                    fill=s["fill"] + pvalid.sum() * n_ch,
+                    gcur=s["gcur"] + adv, it=s["it"] + adv,
+                    flag=s["flag"] | guard | over,
+                    fr_ok=s["fr_ok"] & ~over,
+                    fr=jnp.where(guard, s["fr"], fr2),
+                    n_fr=jnp.where(guard, s["n_fr"], n_fr2),
+                    maxlev=jnp.maximum(s["maxlev"],
+                                       jnp.where(pvalid, clevel, 0).max()))
+                s3["psel"] = s["psel"].at[it_w].set(parents.astype(jnp.int32))
+                return s3
+
+            return jax.lax.while_loop(cond, body, state)
+
+        mesh_key = (tuple(self._mesh.devices.shape)
+                    if self._mesh is not None else ())
+        fn = cached_jit(("geoloop", cap, k_geo, L, lev_cap, mdl,
+                         mdl_rounds, d, g.cache_key, mesh_key),
+                        lambda: jax.jit(loop_fn))
+        self._device_loops[key] = fn
+        return fn
+
+    def _device_geometry_call(self, g, surface: np.ndarray, gmin: int,
+                              gmax: int):
+        """Run up to ``_GEO_LOOP_LEVELS`` geometry-refinement levels on
+        device; returns ``(surface, gmin)`` advanced past the executed
+        levels (unchanged if the loop could not run)."""
+        d = self._n_dimensions
+        n_ch = 2 ** d
+        k_geo = _bucket(4 * max(int(surface.size), 64), minimum=256)
+        if k_geo * n_ch > 2 * _EPOCH_CHUNK[d] or surface.size > k_geo:
+            return surface, gmin
+        L = self._GEO_LOOP_LEVELS
+        need = self._n_cells + L * k_geo * n_ch + 1
+        cap = max(4096, 1 << (need - 1).bit_length())
+        fn = self._build_geometry_loop(cap, k_geo, g)
+
+        n0 = self._n_cells
+        n0p = _bucket(max(n0, 1), minimum=1024)
+        buf = np.zeros((n0p, d + 4), dtype=np.int32)
+        buf[:n0, :d] = self._coords[:n0]
+        buf[:n0, d] = self._level[:n0]
+        buf[:n0, d + 3] = self._alive[:n0]
+        coords_d, level_d, alive_d, _, _ = _unpack_loop_state(
+            jnp.asarray(buf), cap)
+        frh = np.full(k_geo, cap, dtype=np.int32)
+        frh[:surface.size] = surface
+        state = {"coords": coords_d, "level": level_d, "alive": alive_d,
+                 "fr": jnp.asarray(frh), "n_fr": jnp.int32(surface.size),
+                 "gcur": jnp.int32(gmin), "it": jnp.int32(0),
+                 "fill": jnp.int32(n0), "flag": jnp.bool_(False),
+                 "fr_ok": jnp.bool_(True),
+                 "maxlev": jnp.int32(self._current_max_level),
+                 "psel": jnp.full((L, k_geo), cap, dtype=jnp.int32)}
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            state = jax.device_put(
+                state, NamedSharding(self._mesh, PartitionSpec()))
+        out = fn(state, jnp.int32(gmax),
+                 jnp.asarray(self._lo, dtype=jnp.float32),
+                 jnp.asarray(self._offsets, dtype=jnp.float32),
+                 jnp.float32(self._width))
+        res = np.asarray(_pack_geo_result(
+            out["it"], out["fill"], out["maxlev"], out["n_fr"],
+            out["fr_ok"], out["fr"], out["alive"], out["psel"]))
+        ran, fill, maxlev, n_fr, fr_ok = (int(v) for v in res[:5])
+        if ran == 0:
+            return surface, gmin
+        fr = res[5:5 + k_geo]
+        n_words = (cap + 1 + 31) // 32
+        alive_bits = res[5 + k_geo:5 + k_geo + n_words].view(np.uint32)
+        psel = res[5 + k_geo + n_words:].reshape(L, k_geo)
+
+        # split replay: reconstruct the new rows' coords/levels with the
+        # same integer arithmetic the device ran (adaptive-loop pattern)
+        self._grow(fill - n0)
+        pos = n0
+        coords, level = self._coords, self._level
+        for t in range(ran):
+            p = psel[t]
+            p = p[p < cap]
+            m = p.size * n_ch
+            coords[pos:pos + m] = (coords[p][:, None, :] * 2
+                                   + self._offsets[None, :, :]).reshape(-1, d)
+            level[pos:pos + m] = np.repeat(level[p] + 1, n_ch)
+            pos += m
+        assert pos == fill, (pos, fill)
+        self._alive[:fill] = np.unpackbits(
+            alive_bits.view(np.uint8), bitorder="little")[:fill]
+        self._n_cells = fill
+        self._current_max_level = max(self._current_max_level, maxlev)
+        gmin += ran
+        if fr_ok:
+            surface = fr[fr < cap].astype(np.int64)
+        else:
+            # truncated next frontier (rare): recompute the surface set
+            # from the last executed level's children in one host call
+            last = psel[ran - 1]
+            m = last[last < cap].size * n_ch
+            children = np.arange(fill - m, fill, dtype=np.int64)
+            children = children[self._alive[children]]
+            surface = children[self._geo_refine_flags(g, children)[1]]
+        return surface, gmin
+
     def _refine_geometries(self) -> None:
         geometries_to_refine = [i for i, g in enumerate(self._geometry) if g.refine]
         if geometries_to_refine:
@@ -2298,6 +2515,21 @@ class SamplingTree:
             logger.info(f"Found a minimum cell level of {gmin}. Target level is {gmax}.")
 
             while gmax > gmin:
+                # device-resident level loop: the per-level host path below
+                # costs one tunnel round trip per level; the loop runs up to
+                # _GEO_LOOP_LEVELS levels per dispatch and falls back here
+                # for anything it cannot handle (frontier overflow, deep
+                # levels, huge/pre-select geometries)
+                if (fused and gmin + 1 <= 22
+                        and os.environ.get("S3_TPU_DEVICE_LOOP", "1")
+                        != "0"):
+                    surface, gmin2 = self._device_geometry_call(
+                        g, surface, gmin, gmax)
+                    if gmin2 > gmin:
+                        logger.info(f"\tDevice loop refined levels "
+                                    f"{gmin + 1}..{gmin2} / {gmax}.")
+                        gmin = gmin2
+                        continue
                 logger.info(f"\tRefining level {gmin + 1} / {gmax}.")
                 to_refine = surface[self._level[surface] < gmax]
                 if self._max_delta_level and to_refine.size:

@@ -120,6 +120,42 @@ def test_device_loop_fullscan_core_matches_host(monkeypatch, kwargs):
     assert iters > 3 and stats["n_calls_main"] < iters
 
 
+@pytest.mark.parametrize("mdl", [False, True], ids=["plain", "2to1"])
+def test_geometry_loop_matches_host_levels(monkeypatch, mdl):
+    """The device-resident geometry-refinement loop (one dispatch for up
+    to 8 levels) must grow the same grid as the per-level host path —
+    with a deep min_refinement_level so several levels run, with and
+    without the 2:1 constraint."""
+    def run(device_loop):
+        monkeypatch.setenv("S3_TPU_DEVICE_LOOP",
+                           "1" if device_loop else "0")
+        rng = np.random.default_rng(11)
+        xy = rng.uniform([0, 0], [1, 1], size=(9000, 2))
+        r = np.linalg.norm(xy - [0.3, 0.5], axis=1)
+        xy = xy[r > 0.05][:8000]
+        metric = np.exp(-((xy[:, 0] - .6) ** 2
+                          + (xy[:, 1] - .5) ** 2) / .05) + 0.01
+        tmp = tempfile.mkdtemp()
+        s3 = SparseSpatialSampling(
+            xy, metric,
+            [CubeGeometry("domain", True, [0, 0], [1, 1]),
+             SphereGeometry("hole", False, [0.3, 0.5], 0.05,
+                            refine=True, min_refinement_level=9)],
+            save_path=tmp, save_name="g", uniform_levels=3,
+            n_cells_max=1500, max_delta_level=mdl)
+        s3.execute_grid_generation()
+        return s3
+
+    a = run(False)
+    b = run(True)
+    ca, la = _grid_key(a)
+    cb, lb = _grid_key(b)
+    assert ca.shape == cb.shape
+    np.testing.assert_allclose(ca, cb)
+    np.testing.assert_array_equal(la, lb)
+    assert int(la.max()) == 9  # the deep geometry target was reached
+
+
 def test_device_loop_3d_stl_obstacle(monkeypatch, tmp_path):
     """3D device loop with an STL obstacle: the fused epoch inside the
     lax.while_loop evaluates the sign-grid winding test, and cells whose
