@@ -577,6 +577,11 @@ def emit_c2d(rep: Report, runs, prefix: str, baseline_s: float) -> None:
         f"{prefix}_baseline_s": baseline_s,
         f"{prefix}_vs_baseline": round(baseline_s / totals[best], 2),
         f"{prefix}_n_iterations": int(s3.data_final_mesh["iterations"]),
+        f"{prefix}_init_s": round(s3.data_final_mesh["t_init"], 3),
+        f"{prefix}_renumber_s": round(
+            s3.data_final_mesh["t_renumbering"], 3),
+        f"{prefix}_checkpoint_s": round(
+            s3.data_final_mesh["t_checkpoint"], 3),
     }
     out.update(throughput_metrics(f"{prefix}_", s3.data_final_mesh, {}))
     rep.emit(**out)
@@ -595,6 +600,13 @@ def emit_stl(rep: Report, stl_runs) -> None:
         "stl_adaptive_s": round(s3_stl.data_final_mesh["t_adaptive"], 3),
         "stl_geometry_s": (round(s3_stl.data_final_mesh["t_geometry"], 3)
                            if s3_stl.data_final_mesh["t_geometry"] else None),
+        # full ledger like c3d: refine == init + uniform + adaptive +
+        # geometry + renumber + finalize + checkpoint (to within noise)
+        "stl_init_s": round(s3_stl.data_final_mesh["t_init"], 3),
+        "stl_knn_build_s": round(s3_stl.data_final_mesh["t_knn_build"], 3),
+        "stl_renumber_s": round(s3_stl.data_final_mesh["t_renumbering"], 3),
+        "stl_finalize_s": round(s3_stl.data_final_mesh["t_finalize"], 3),
+        "stl_checkpoint_s": round(s3_stl.data_final_mesh["t_checkpoint"], 3),
     }
     out.update(throughput_metrics("stl_", s3_stl.data_final_mesh, {}))
     rep.emit(**out)

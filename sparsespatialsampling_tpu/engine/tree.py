@@ -981,7 +981,7 @@ class SamplingTree:
         def fn_grid_dil(coords, level, lo, width, gain0, dirs, offsets,
                         shift, dil_pts, dil_cand, dil_ovf, dil_vals, values,
                         cell_pts, cell_list, overflow, origin,
-                        inv_h, dims):
+                        inv_h, dims, points, points_sq):
             """Dilated layout: one gather slice per query (~4x the effective
             gather bandwidth of the blocked form on the v5e) — with the
             escalating-radius ring retry FUSED into the same program.
@@ -1067,6 +1067,37 @@ class SamplingTree:
                                   make_ring(min(rr, nq), radius),
                                   lambda op: op, op)
             sq, vals, badq, _ = op
+
+            # final in-kernel rescue: EXACT full scan for up to 128 rows
+            # that failed every ring margin (typically cells abutting a
+            # large point-cloud void, e.g. an STL interior — the k-th
+            # neighbor lies beyond the radius-4 slab).  Before this pass
+            # each such cell forced a device-loop exit + host retry + loop
+            # re-entry (measured 11 device calls for ~20 iterations on the
+            # STL bench, readback-dominated).  The scan reuses the host
+            # small-tile retry's exact subgraph (_search at tile_q=128, the
+            # same shapes), so the rescued rows carry the same values the
+            # host escalation would have written.  More than 128 bad rows
+            # (never observed) leave the remainder marked bad for the host.
+            fs = min(128, nq)
+
+            def full_rescue(op3):
+                sq, vals, badq = op3
+                score = (badq.astype(jnp.float32) * 2.0
+                         - jnp.arange(nq, dtype=jnp.float32) / nq)
+                _, rows = jax.lax.top_k(score, fs)
+                rq = qflat[rows]
+                rsq, ridx = _search(rq, points, points_sq, k, tile_n, fs)
+                rvals = values[ridx]
+                m = badq[rows]
+                sq = sq.at[rows].set(jnp.where(m[:, None], rsq, sq[rows]))
+                vals = vals.at[rows].set(
+                    jnp.where(m[:, None], rvals, vals[rows]))
+                badq = badq.at[rows].set(False)
+                return sq, vals, badq
+
+            sq, vals, badq = jax.lax.cond(
+                badq.any(), full_rescue, lambda o: o, (sq, vals, badq))
             pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
             bad = badq.reshape(-1, n_children).any(axis=1)
             return gain_tail(level, width, gain0, pred, invalid, bad)
@@ -1161,7 +1192,8 @@ class SamplingTree:
                                       g["dil_ovf"], g["dil_vals"],
                                       knn._values, g["cell_pts"],
                                       g["cell_list"], g["overflow"],
-                                      g["origin"], g["inv_h"], g["dims"])
+                                      g["origin"], g["inv_h"], g["dims"],
+                                      knn._points, knn._points_sq)
                 # traced core + args for the device-resident adaptive loop
                 self._dil_core = fn_grid_dil
                 self._dil_core_args = grid_args
@@ -2514,13 +2546,22 @@ class SamplingTree:
                 gmax = g.min_refinement_level
             logger.info(f"Found a minimum cell level of {gmin}. Target level is {gmax}.")
 
+            # the device level-loop also serves pre-select expensive
+            # geometries (unlike the epoch kernels' `fused` gate): the bbox
+            # pre-check is a CONSERVATIVE filter — cells outside the bbox
+            # fail the full predicate too — so evaluating the full device
+            # predicate for every child gives identical flags, and inside
+            # the loop there is no host to run a bbox gate anyway.  Only
+            # huge-table geometries (no outer jit may close over them) and
+            # the >22-level f32-exactness regime are excluded.
+            dev_ok = not huge
             while gmax > gmin:
                 # device-resident level loop: the per-level host path below
                 # costs one tunnel round trip per level; the loop runs up to
                 # _GEO_LOOP_LEVELS levels per dispatch and falls back here
                 # for anything it cannot handle (frontier overflow, deep
-                # levels, huge/pre-select geometries)
-                if (fused and gmin + 1 <= 22
+                # levels, huge geometries)
+                if (dev_ok and gmin + 1 <= 22
                         and os.environ.get("S3_TPU_DEVICE_LOOP", "1")
                         != "0"):
                     surface, gmin2 = self._device_geometry_call(

@@ -156,6 +156,44 @@ def test_geometry_loop_matches_host_levels(monkeypatch, mdl):
     assert int(la.max()) == 9  # the deep geometry target was reached
 
 
+def test_geometry_loop_pre_select_polygon(monkeypatch):
+    """With pre_select_cells=True and an expensive (coordinates-2D)
+    geometry, the epoch kernels run the host bbox-gated route but the
+    geometry-refinement device loop still engages (the bbox gate is a
+    conservative filter, so the full in-loop predicate gives identical
+    flags) — the OAT bench configuration."""
+    from sparsespatialsampling_tpu import GeometryCoordinates2D
+    t = np.linspace(0, 2 * np.pi, 60, endpoint=False)
+    poly = np.stack([0.4 + 0.12 * np.cos(t), 0.5 + 0.07 * np.sin(t)], 1)
+
+    def run(device_loop):
+        monkeypatch.setenv("S3_TPU_DEVICE_LOOP",
+                           "1" if device_loop else "0")
+        rng = np.random.default_rng(13)
+        xy = rng.uniform([0, 0], [1, 1], size=(8000, 2))
+        metric = np.exp(-((xy[:, 0] - .7) ** 2
+                          + (xy[:, 1] - .5) ** 2) / .05) + 0.01
+        tmp = tempfile.mkdtemp()
+        s3 = SparseSpatialSampling(
+            xy, metric,
+            [CubeGeometry("domain", True, [0, 0], [1, 1]),
+             GeometryCoordinates2D("wing", False, poly, refine=True,
+                                   min_refinement_level=8)],
+            save_path=tmp, save_name="w", uniform_levels=3,
+            n_cells_max=1500, pre_select_cells=True)
+        s3.execute_grid_generation()
+        return s3
+
+    a = run(False)
+    b = run(True)
+    ca, la = _grid_key(a)
+    cb, lb = _grid_key(b)
+    assert ca.shape == cb.shape
+    np.testing.assert_allclose(ca, cb)
+    np.testing.assert_array_equal(la, lb)
+    assert int(la.max()) == 8
+
+
 def test_device_loop_3d_stl_obstacle(monkeypatch, tmp_path):
     """3D device loop with an STL obstacle: the fused epoch inside the
     lax.while_loop evaluates the sign-grid winding test, and cells whose
