@@ -329,17 +329,21 @@ def run_cylinder2d_metric(tmp, max_delta_level=False):
                        refine=True, min_refinement_level=level),
     ]
     t0 = time.perf_counter()
-    s3 = SparseSpatialSampling(
-        xy, metric, geometries, save_path=tmp,
-        save_name="mdl" if max_delta_level else "c2d",
-        uniform_levels=5,
-        min_metric=0.5 if max_delta_level else 0.75,
-        max_delta_level=max_delta_level)
-    s3.execute_grid_generation()
+    # this workload never exports: skip the speculative export weight-cache
+    # prefetch — on this single-CPU host its worker thread contends with
+    # the checkpoint pickling inside the timed window
+    os.environ["S3_TPU_EXPORT_PREFETCH"] = "0"
+    try:
+        s3 = SparseSpatialSampling(
+            xy, metric, geometries, save_path=tmp,
+            save_name="mdl" if max_delta_level else "c2d",
+            uniform_levels=5,
+            min_metric=0.5 if max_delta_level else 0.75,
+            max_delta_level=max_delta_level)
+        s3.execute_grid_generation()
+    finally:
+        os.environ.pop("S3_TPU_EXPORT_PREFETCH", None)
     t_refine = time.perf_counter() - t0
-    pf = getattr(s3, "_knn_prefetch", None)
-    if pf and pf.get("thread") is not None:
-        pf["thread"].join()
     return s3, t_refine
 
 
@@ -394,17 +398,18 @@ def run_stl(tmp):
                       min_refinement_level=6),
     ]
     t0 = time.perf_counter()
-    s3 = SparseSpatialSampling(
-        xyz, metric, geometries, save_path=tmp, save_name="stl",
-        uniform_levels=4, n_cells_max=40_000)
-    s3.execute_grid_generation()
+    # this workload never exports: skip the speculative export weight-cache
+    # prefetch (its worker thread contends with the checkpoint pickling on
+    # this single-CPU host, and its device work with the next timed run)
+    os.environ["S3_TPU_EXPORT_PREFETCH"] = "0"
+    try:
+        s3 = SparseSpatialSampling(
+            xyz, metric, geometries, save_path=tmp, save_name="stl",
+            uniform_levels=4, n_cells_max=40_000)
+        s3.execute_grid_generation()
+    finally:
+        os.environ.pop("S3_TPU_EXPORT_PREFETCH", None)
     t_refine = time.perf_counter() - t0
-    # this workload never exports: drain the speculative export weight-cache
-    # prefetch OUTSIDE the timed window so its device work cannot contend
-    # with the next timed run on the single TPU
-    pf = getattr(s3, "_knn_prefetch", None)
-    if pf and pf.get("thread") is not None:
-        pf["thread"].join()
     return s3, n_tri, t_refine
 
 

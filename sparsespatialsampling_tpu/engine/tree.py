@@ -80,15 +80,24 @@ def _bsearch_eq(keys: tuple, queries: tuple, n_steps: int):
     branchless binary search of ``n_steps`` gather/compare rounds).
     Returns ``(pos, found)``; ``pos`` is the lower-bound index."""
     n = keys[0].shape[0]
-    lo = jnp.zeros(queries[0].shape[0], jnp.int32)
-    hi = jnp.full(queries[0].shape[0], n, jnp.int32)
-    for _ in range(n_steps):
+
+    def step(_, lh):
+        lo, hi = lh
         act = lo < hi
         mid = jnp.minimum((lo + hi) >> 1, n - 1)
         km = tuple(k[mid] for k in keys)
         less = _lex_less(km, queries)
-        lo = jnp.where(act & less, mid + 1, lo)
-        hi = jnp.where(act & ~less, mid, hi)
+        return (jnp.where(act & less, mid + 1, lo),
+                jnp.where(act & ~less, mid, hi))
+
+    # fori_loop, not an unrolled Python loop: the search appears 8x per
+    # level of the constraint loops, and ~20 unrolled gather/compare
+    # stages each made the traced program (and its tunnel compile time)
+    # balloon
+    lo, hi = jax.lax.fori_loop(
+        0, n_steps, step,
+        (jnp.zeros(queries[0].shape[0], jnp.int32),
+         jnp.full(queries[0].shape[0], n, jnp.int32)))
     pos = jnp.minimum(lo, n - 1)
     found = lo < n
     for k, q in zip(keys, queries):
@@ -146,7 +155,12 @@ def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
     fr = (seed if k_seed == k_sel else jnp.concatenate(
         [seed, jnp.full((k_sel - k_seed,), cap, jnp.int32)]))
     guard = jnp.bool_(False)
-    arangec = jnp.arange(cap, dtype=jnp.float32)
+    # ascending-row extraction by sort+slice of masked indices (sentinel
+    # ``cap`` sorts last) — lax.top_k over the cap-sized score array was
+    # measured far slower at the geometry loop's k_sel (top_k cost grows
+    # with k; a full i32 sort does not)
+    arange_i = jnp.arange(cap, dtype=jnp.int32)
+    big = jnp.int32(cap)
     n_round = jnp.int32(0)
     for _ in range(rounds):
         orow, _ = probe(fr, 1)
@@ -157,17 +171,13 @@ def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
                     .at[cap].set(False))
         newmask = sel_mask[:cap] & ~before[:cap]
         n_round = newmask.sum()
-        score = newmask.astype(jnp.float32) * 2.0 - arangec / cap
-        sv, fr = jax.lax.top_k(score, k_sel)
-        fr = jnp.where(sv > 1.0, fr, cap).astype(jnp.int32)
+        fr = jnp.sort(jnp.where(newmask, arange_i, big))[:k_sel]
         guard |= n_round > k_sel        # frontier truncated
     # adds in the final round leave unchecked frontiers
     guard |= n_round > 0
     guard |= sel_mask[:cap].sum() > k_sel
-    score = sel_mask[:cap].astype(jnp.float32) * 2.0 - arangec / cap
-    sv, parents = jax.lax.top_k(score, k_sel)
-    pvalid = sv > 1.0
-    parents = jnp.where(pvalid, parents, cap)
+    parents = jnp.sort(jnp.where(sel_mask[:cap], arange_i, big))[:k_sel]
+    pvalid = parents < cap
     return parents, pvalid, guard
 
 
@@ -552,6 +562,7 @@ class SamplingTree:
         self._surface_checkers = {}
         self._single_geo_validity = {}
         self._geo_fused_checkers = {}   # id(g) -> jitted (invalid, surface) fn
+        self._geo_loop_shapes = {}      # id(g) -> sticky (k_geo, cap)
         # fused per-epoch kernel (gain + metric + validity in ONE device call
         # and ONE packed readback — device→host syncs dominate the adaptive
         # loop on remote TPUs); built lazily after gain0 exists. Expensive
@@ -1068,18 +1079,20 @@ class SamplingTree:
                                   lambda op: op, op)
             sq, vals, badq, _ = op
 
-            # final in-kernel rescue: EXACT full scan for up to 128 rows
+            # final in-kernel rescue: EXACT full scan for up to 1024 rows
             # that failed every ring margin (typically cells abutting a
             # large point-cloud void, e.g. an STL interior — the k-th
             # neighbor lies beyond the radius-4 slab).  Before this pass
             # each such cell forced a device-loop exit + host retry + loop
             # re-entry (measured 11 device calls for ~20 iterations on the
             # STL bench, readback-dominated).  The scan reuses the host
-            # small-tile retry's exact subgraph (_search at tile_q=128, the
-            # same shapes), so the rescued rows carry the same values the
-            # host escalation would have written.  More than 128 bad rows
-            # (never observed) leave the remainder marked bad for the host.
-            fs = min(128, nq)
+            # small-tile retry's exact subgraph (_search at tile_q=128),
+            # so the rescued rows carry the same values the host
+            # escalation would have written.  1024 covers the worst
+            # observed per-iteration count (STL workloads whose metric
+            # concentrates refinement around the hole margin); a larger
+            # residue leaves the remainder marked bad for the host.
+            fs = min(1024, nq)
 
             def full_rescue(op3):
                 sq, vals, badq = op3
@@ -2313,14 +2326,7 @@ class SamplingTree:
         n_ch = 2 ** d
         L = self._GEO_LOOP_LEVELS
         lev_cap = min(self._DEVICE_LEVEL_CAP, 22)
-        mdl = self._max_delta_level
-        mdl_rounds = self._MDL_ROUNDS
-        bs_steps = int(cap).bit_length()
         offsets_i = jnp.asarray(self._offsets, dtype=jnp.int32)
-        nbdirs = np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d),
-                                      indexing="ij"), axis=-1).reshape(-1, d)
-        nbdirs_i = jnp.asarray(nbdirs[~(nbdirs == 0).all(axis=1)],
-                               dtype=jnp.int32)
         check_cells = g.check_cells
 
         def loop_fn(state, gmax, lo32, offs32, w32):
@@ -2331,15 +2337,9 @@ class SamplingTree:
             def body(s):
                 fr = s["fr"]
                 to_mask = (fr != cap) & (s["level"][fr] < gmax)
-                if not mdl:
-                    parents = jnp.sort(jnp.where(to_mask, fr, cap))
-                    pvalid = parents < cap
-                    guard = jnp.bool_(False)
-                else:
-                    seed = jnp.where(to_mask, fr, cap)
-                    parents, pvalid, guard = _mdl_expand(
-                        s["coords"], s["level"], s["alive"], seed,
-                        cap, d, k_geo, bs_steps, nbdirs_i, mdl_rounds)
+                parents = jnp.sort(jnp.where(to_mask, fr, cap))
+                pvalid = parents < cap
+                guard = jnp.bool_(False)
                 plevel = s["level"][parents]
                 guard = guard | (jnp.where(pvalid, plevel, 0).max() + 1
                                  > lev_cap)
@@ -2402,8 +2402,8 @@ class SamplingTree:
 
         mesh_key = (tuple(self._mesh.devices.shape)
                     if self._mesh is not None else ())
-        fn = cached_jit(("geoloop", cap, k_geo, L, lev_cap, mdl,
-                         mdl_rounds, d, g.cache_key, mesh_key),
+        fn = cached_jit(("geoloop", cap, k_geo, L, lev_cap, d,
+                         g.cache_key, mesh_key),
                         lambda: jax.jit(loop_fn))
         self._device_loops[key] = fn
         return fn
@@ -2415,12 +2415,32 @@ class SamplingTree:
         levels (unchanged if the loop could not run)."""
         d = self._n_dimensions
         n_ch = 2 ** d
-        k_geo = _bucket(4 * max(int(surface.size), 64), minimum=256)
-        if k_geo * n_ch > 2 * _EPOCH_CHUNK[d] or surface.size > k_geo:
-            return surface, gmin
         L = self._GEO_LOOP_LEVELS
-        need = self._n_cells + L * k_geo * n_ch + 1
-        cap = max(4096, 1 << (need - 1).bit_length())
+        # STICKY shapes per geometry: a re-entry (after an overflow or a
+        # host fallback level) re-estimating k_geo/cap would trace a NEW
+        # loop program — each a 30-110 s compile through the tunnel — so
+        # the shape chosen at phase entry serves the whole phase
+        cached = self._geo_loop_shapes.get(id(g))
+        if cached is None:
+            # the surface of a (d-1)-dimensional feature roughly
+            # 2^(d-1)-folds per level — size the frontier buffer for the
+            # LAST level so the whole phase fits one dispatch (an overflow
+            # guard-exit costs ~2 extra round trips: host frontier
+            # recompute + re-entry)
+            levels_left = max(gmax - gmin, 1)
+            est = 2 * max(int(surface.size), 64) * (
+                1 << ((d - 1) * min(levels_left - 1, 7)))
+            k_geo = _bucket(est, minimum=256)
+            while k_geo * n_ch > 2 * _EPOCH_CHUNK[d] and k_geo > 256:
+                k_geo //= 2
+            need = self._n_cells + L * k_geo * n_ch + 1
+            cap = max(4096, 1 << (need - 1).bit_length())
+            self._geo_loop_shapes[id(g)] = (k_geo, cap)
+        else:
+            k_geo, cap = cached
+        if (surface.size > k_geo
+                or self._n_cells + L * k_geo * n_ch + 1 > cap):
+            return surface, gmin
         fn = self._build_geometry_loop(cap, k_geo, g)
 
         n0 = self._n_cells
@@ -2551,10 +2571,16 @@ class SamplingTree:
             # pre-check is a CONSERVATIVE filter — cells outside the bbox
             # fail the full predicate too — so evaluating the full device
             # predicate for every child gives identical flags, and inside
-            # the loop there is no host to run a bbox gate anyway.  Only
-            # huge-table geometries (no outer jit may close over them) and
-            # the >22-level f32-exactness regime are excluded.
-            dev_ok = not huge
+            # the loop there is no host to run a bbox gate anyway.
+            # Excluded: huge-table geometries (no outer jit may close over
+            # them), the >22-level f32-exactness regime, and
+            # max_delta_level runs — measured WARM on hardware, the
+            # in-loop per-level expansion (cap-sized key sort + 8 binary-
+            # search probes per level) costs 0.86 s where the host
+            # per-level path costs 0.29 s, and its loop program is by far
+            # the most expensive compile in the engine; the geometry
+            # phase has too few levels to amortize either.
+            dev_ok = not huge and not self._max_delta_level
             while gmax > gmin:
                 # device-resident level loop: the per-level host path below
                 # costs one tunnel round trip per level; the loop runs up to
