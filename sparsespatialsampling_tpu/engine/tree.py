@@ -290,6 +290,10 @@ def _pack_loop_result(it, fill, maxlev, cpi, cpi_last, ms, ns, alive, bad,
 # 16 GB v5e even with two chunks in flight: 16384·5 in 2D, 4096·9 in 3D.
 _EPOCH_CHUNK = {2: 16384, 3: 4096}
 
+# size-1 k-NN index reuse across SamplingTree instances (same cloud + same
+# metric ⇒ identical immutable index); see the construction site below
+_KNN_INDEX_CACHE: dict = {}
+
 # Per-pass (rows, radius) plan of the fused in-program ring rescue
 # (measured c3d: ~125 bad CELLS → ~150-400 bad queries per 4096-cell call;
 # STL geometry refinement clusters every cell at the surface hole and once
@@ -551,7 +555,26 @@ class SamplingTree:
             self._knn = ShardedKNNIndex(vertices, self._mesh, values=target)
         else:
             self._mesh = None
-            self._knn = KNNIndex(vertices, values=target)
+            # size-1 content-keyed index reuse: the reference's own examples
+            # sweep ``min_metric`` over the SAME cloud (e.g.
+            # ``examples/s3_for_OAT15_airfoil.py:113-133``), rebuilding the
+            # engine per setting — the Morton sort + bucket-grid build +
+            # device uploads (~0.35 s at 500k points) are identical every
+            # time.  The index is immutable once built, so reuse is
+            # semantically invisible; one retained index bounds the HBM
+            # held between runs.
+            v64 = np.ascontiguousarray(vertices, dtype=np.float64)
+            m64 = np.ascontiguousarray(target, dtype=np.float64)
+            import hashlib
+            digest = hashlib.sha1(v64.tobytes()).hexdigest() + \
+                hashlib.sha1(m64.tobytes()).hexdigest()
+            cached = _KNN_INDEX_CACHE.get("entry")
+            if (cached is not None and cached[0] == digest
+                    and cached[1] == v64.shape):
+                self._knn = cached[2]
+            else:
+                self._knn = KNNIndex(vertices, values=target)
+                _KNN_INDEX_CACHE["entry"] = (digest, v64.shape, self._knn)
         _t_knn = time() - _t_knn0
 
         # geometry masking kernels (compiled lazily per shape bucket);

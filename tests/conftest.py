@@ -21,3 +21,17 @@ os.environ.setdefault("S3_TPU_DISABLE_SHARDING", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _isolate_knn_index_cache():
+    """The engine's size-1 content-keyed k-NN index reuse is semantically
+    invisible in production, but tests monkeypatch index class attributes
+    (GRID_MIN_POINTS) — an index cached under one patch must not leak into
+    a test expecting another build policy for the same cloud bytes."""
+    from sparsespatialsampling_tpu.engine import tree
+    tree._KNN_INDEX_CACHE.clear()
+    yield
+    tree._KNN_INDEX_CACHE.clear()
