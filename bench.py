@@ -332,6 +332,7 @@ def run_cylinder2d_metric(tmp, max_delta_level=False):
     # this workload never exports: skip the speculative export weight-cache
     # prefetch — on this single-CPU host its worker thread contends with
     # the checkpoint pickling inside the timed window
+    saved_prefetch = os.environ.get("S3_TPU_EXPORT_PREFETCH")
     os.environ["S3_TPU_EXPORT_PREFETCH"] = "0"
     try:
         s3 = SparseSpatialSampling(
@@ -342,7 +343,10 @@ def run_cylinder2d_metric(tmp, max_delta_level=False):
             max_delta_level=max_delta_level)
         s3.execute_grid_generation()
     finally:
-        os.environ.pop("S3_TPU_EXPORT_PREFETCH", None)
+        if saved_prefetch is None:
+            os.environ.pop("S3_TPU_EXPORT_PREFETCH", None)
+        else:
+            os.environ["S3_TPU_EXPORT_PREFETCH"] = saved_prefetch
     t_refine = time.perf_counter() - t0
     return s3, t_refine
 
@@ -401,6 +405,7 @@ def run_stl(tmp):
     # this workload never exports: skip the speculative export weight-cache
     # prefetch (its worker thread contends with the checkpoint pickling on
     # this single-CPU host, and its device work with the next timed run)
+    saved_prefetch = os.environ.get("S3_TPU_EXPORT_PREFETCH")
     os.environ["S3_TPU_EXPORT_PREFETCH"] = "0"
     try:
         s3 = SparseSpatialSampling(
@@ -408,7 +413,10 @@ def run_stl(tmp):
             uniform_levels=4, n_cells_max=40_000)
         s3.execute_grid_generation()
     finally:
-        os.environ.pop("S3_TPU_EXPORT_PREFETCH", None)
+        if saved_prefetch is None:
+            os.environ.pop("S3_TPU_EXPORT_PREFETCH", None)
+        else:
+            os.environ["S3_TPU_EXPORT_PREFETCH"] = saved_prefetch
     t_refine = time.perf_counter() - t0
     return s3, n_tri, t_refine
 

@@ -1730,7 +1730,6 @@ class SamplingTree:
     _MDL_ROUNDS = 4
 
     def _adaptive_device_eligible(self) -> bool:
-        import os
         # host-evaluated geometries (tables above _FUSED_GEO_BYTES) cannot
         # run inside the device loop: their validity is merged on the host
         # AFTER each epoch readback, which the loop's in-program iterations
@@ -1938,10 +1937,18 @@ class SamplingTree:
         # the loop's trace is fully determined by (cap, k_max, metric_mode)
         # plus everything the epoch core traces (d, k, tiles, fused geometry
         # content, mesh shape for the sharded cores) — share the compiled
-        # loop across runs
+        # loop across runs.  The SHARDED cores close over cloud-sized
+        # constants (n_local in the full-scan merge; rows_per_dev and the
+        # sentinel row id in the grid kernel), so those must be part of the
+        # key: two same-mesh runs over different-sized clouds would
+        # otherwise silently reuse a loop whose baked-in shard geometry is
+        # stale (wrong global indices / permanent ownership misses).
+        kg = getattr(self._knn, "_grid", None) or {}
         ekey = (d, self._n_neighbors,
                 getattr(self._knn, "_tile_n", 0),
                 getattr(self._knn, "_tile_q", 0),
+                getattr(self._knn, "_n_padded", 0),
+                kg.get("rows", 0), kg.get("n_cells", 0),
                 tuple(self._mesh.devices.shape) if self._mesh is not None
                 else (),
                 tuple(g.cache_key for g in

@@ -197,11 +197,18 @@ class ShardedKNNIndex:
             ok = jax.lax.psum(okq.astype(jnp.int32), CELL_AXIS) > 0
             return idx, ok
 
-        fn = jax.jit(shard_map(
-            kernel, mesh=self.mesh,
-            in_specs=(P(), P(CELL_AXIS), P(CELL_AXIS), P(CELL_AXIS),
-                      P(), P(), P()),
-            out_specs=(P(), P()), check_vma=False))
+        from .._backend import cached_jit
+        # keyed on every closure constant (rows_per_dev, sentinel id, k)
+        # plus the mesh shape — a fresh jax.jit object per index instance
+        # would re-load its executable through the tunnel every run
+        fn = cached_jit(
+            ("shard_grid_query", k, self.n_dim, rows_per_dev, n_sentinel,
+             tuple(self.mesh.devices.shape)),
+            lambda: jax.jit(shard_map(
+                kernel, mesh=self.mesh,
+                in_specs=(P(), P(CELL_AXIS), P(CELL_AXIS), P(CELL_AXIS),
+                          P(), P(), P()),
+                out_specs=(P(), P()), check_vma=False)))
         self._grid_query_fns[k] = fn
         return fn
 
