@@ -113,6 +113,15 @@ def test_oracle_parity_2d_max_delta_level():
     _assert_identical(s3, oracle)
 
 
+def test_oracle_parity_2d_cells_mode_max_delta_level():
+    xy, metric = _cloud_2d(seed=5)
+    s3, oracle = _run_both(xy, metric,
+                           obstacle=([0.35, 0.5], 0.08, True, 5),
+                           uniform_levels=2, n_cells_max=500,
+                           max_delta_level=True, n_cells_iter_start=12)
+    _assert_identical(s3, oracle)
+
+
 def test_oracle_parity_3d_metric_mode():
     xyz, metric = _cloud_3d()
     s3, oracle = _run_both(xyz, metric,
