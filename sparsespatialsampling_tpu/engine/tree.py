@@ -1667,6 +1667,41 @@ class SamplingTree:
         order = np.argsort(anchors)
         return alive[order], anchors[order]
 
+    def _coarser_neighbors(self, idx: np.ndarray) -> np.ndarray:
+        """Direct coarser leaf neighbors of cells ``idx`` (reference
+        ``_check_nb`` over a batch, s_cube.py:447-464).  Unlike
+        :meth:`_expand_delta_level`, members of ``idx`` itself may appear
+        in the result — the reference adds a neighbor to ``to_refine``
+        regardless of whether it is also a seed."""
+        if idx.size == 0:
+            return idx
+        d = self._n_dimensions
+        dirs = np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d),
+                                    indexing="ij"), axis=-1).reshape(-1, d)
+        dirs = dirs[~(dirs == 0).all(axis=1)].astype(np.int64)
+        leaf_sorted, anchors_sorted = self._build_leaf_lookup()
+        leaf_sizes = morton.range_size(self._level[leaf_sorted], d,
+                                       self._max_depth)
+        coords = self._coords[idx]
+        level = self._level[idx]
+        nb = coords[:, None, :] + dirs[None, :, :]
+        nb_level = np.repeat(level[:, None], dirs.shape[0], axis=1)
+        inside = np.logical_and(nb >= 0,
+                                nb < (1 << nb_level[..., None])).all(-1)
+        nb_flat = nb.reshape(-1, d)[inside.ravel()]
+        lvl_flat = nb_level.ravel()[inside.ravel()]
+        if nb_flat.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        p = morton.anchor(nb_flat.astype(np.uint64), lvl_flat,
+                          self._max_depth)
+        pos = np.searchsorted(anchors_sorted, p, side="right") - 1
+        pos = np.clip(pos, 0, anchors_sorted.size - 1)
+        owner = leaf_sorted[pos]
+        contains = np.logical_and(anchors_sorted[pos] <= p,
+                                  p - anchors_sorted[pos] < leaf_sizes[pos])
+        violates = contains & (self._level[owner] < lvl_flat)
+        return np.unique(owner[violates])
+
     def _expand_delta_level(self, selected: np.ndarray) -> np.ndarray:
         """Transitively add lower-level leaf neighbors that would violate the
         max-delta-level-of-one constraint (reference ``_check_nb`` +
@@ -2638,8 +2673,20 @@ class SamplingTree:
                         continue
                 logger.info(f"\tRefining level {gmin + 1} / {gmax}.")
                 to_refine = surface[self._level[surface] < gmax]
-                if self._max_delta_level and to_refine.size:
-                    to_refine = self._expand_delta_level(to_refine)
+                if self._max_delta_level and surface.size:
+                    # the reference checks the 2:1 constraint for EVERY
+                    # surface cell — including those already at the target
+                    # level, whose own refinement is skipped but whose
+                    # coarser neighbors still join to_refine (the level
+                    # guard only gates ``to_refine.add(i)``, not
+                    # ``_check_nb(i)``, s_cube.py:826-848) — and a
+                    # constraint-found neighbor is refined even when it is
+                    # itself a surface cell at the target level
+                    direct = self._coarser_neighbors(surface)
+                    if direct.size:
+                        closure = self._expand_delta_level(direct)
+                        to_refine = np.unique(
+                            np.concatenate([to_refine, closure]))
                 if to_refine.size == 0:
                     break
                 children = self._split(to_refine)
