@@ -129,3 +129,12 @@ def test_oracle_parity_3d_metric_mode():
                            uniform_levels=1, min_metric=0.8,
                            n_cells_iter_start=8)
     _assert_identical(s3, oracle)
+
+
+def test_oracle_parity_3d_max_delta_level_geometry():
+    xyz, metric = _cloud_3d(seed=9)
+    s3, oracle = _run_both(xyz, metric,
+                           obstacle=([0.3, 0.3, 0.3], 0.1, True, 3),
+                           uniform_levels=1, n_cells_max=300,
+                           max_delta_level=True, n_cells_iter_start=8)
+    _assert_identical(s3, oracle)
