@@ -1667,14 +1667,10 @@ class SamplingTree:
         order = np.argsort(anchors)
         return alive[order], anchors[order]
 
-    def _coarser_neighbors(self, idx: np.ndarray) -> np.ndarray:
-        """Direct coarser leaf neighbors of cells ``idx`` (reference
-        ``_check_nb`` over a batch, s_cube.py:447-464).  Unlike
-        :meth:`_expand_delta_level`, members of ``idx`` itself may appear
-        in the result — the reference adds a neighbor to ``to_refine``
-        regardless of whether it is also a seed."""
-        if idx.size == 0:
-            return idx
+    def _make_nb_lookup(self):
+        """Prebuilt state for the coarser-neighbor queries: sorted Morton
+        leaf lookup + range sizes + the 3^d - 1 neighbor directions
+        (the reference's 8/26 nb slots, diagonals included)."""
         d = self._n_dimensions
         dirs = np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d),
                                     indexing="ij"), axis=-1).reshape(-1, d)
@@ -1682,9 +1678,19 @@ class SamplingTree:
         leaf_sorted, anchors_sorted = self._build_leaf_lookup()
         leaf_sizes = morton.range_size(self._level[leaf_sorted], d,
                                        self._max_depth)
+        return leaf_sorted, anchors_sorted, leaf_sizes, dirs
+
+    def _coarser_of(self, idx: np.ndarray, lookup) -> np.ndarray:
+        """Direct coarser leaf neighbors of cells ``idx`` (reference
+        ``_check_nb`` over a batch, s_cube.py:447-464), resolved against a
+        prebuilt :meth:`_make_nb_lookup`.  Members of ``idx`` itself may
+        appear in the result — the reference adds a found neighbor to
+        ``to_refine`` regardless of whether it is also a seed."""
+        leaf_sorted, anchors_sorted, leaf_sizes, dirs = lookup
+        d = self._n_dimensions
         coords = self._coords[idx]
         level = self._level[idx]
-        nb = coords[:, None, :] + dirs[None, :, :]
+        nb = coords[:, None, :] + dirs[None, :, :]           # [F, n_dirs, d]
         nb_level = np.repeat(level[:, None], dirs.shape[0], axis=1)
         inside = np.logical_and(nb >= 0,
                                 nb < (1 << nb_level[..., None])).all(-1)
@@ -1702,41 +1708,17 @@ class SamplingTree:
         violates = contains & (self._level[owner] < lvl_flat)
         return np.unique(owner[violates])
 
-    def _expand_delta_level(self, selected: np.ndarray) -> np.ndarray:
+    def _expand_delta_level(self, selected: np.ndarray,
+                            lookup=None) -> np.ndarray:
         """Transitively add lower-level leaf neighbors that would violate the
         max-delta-level-of-one constraint (reference ``_check_nb`` +
         ``_check_constraint``, s_cube.py:447-506)."""
-        d = self._n_dimensions
-        # all 3^d - 1 neighbor directions (includes diagonals, like the
-        # reference's 8/26 nb slots)
-        dirs = np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d), indexing="ij"),
-                        axis=-1).reshape(-1, d)
-        dirs = dirs[~(dirs == 0).all(axis=1)].astype(np.int64)
-
-        leaf_sorted, anchors_sorted = self._build_leaf_lookup()
-        leaf_sizes = morton.range_size(self._level[leaf_sorted], d, self._max_depth)
-
+        if lookup is None:
+            lookup = self._make_nb_lookup()
         to_refine = set(selected.tolist())
         frontier = np.asarray(sorted(to_refine), dtype=np.int64)
         while frontier.size:
-            coords = self._coords[frontier]
-            level = self._level[frontier]
-            nb = coords[:, None, :] + dirs[None, :, :]           # [F, n_dirs, d]
-            nb_level = np.repeat(level[:, None], dirs.shape[0], axis=1)
-            inside = np.logical_and(nb >= 0, nb < (1 << nb_level[..., None])).all(-1)
-            nb_flat = nb.reshape(-1, d)[inside.ravel()]
-            lvl_flat = nb_level.ravel()[inside.ravel()]
-            if nb_flat.size == 0:
-                break
-            p = morton.anchor(nb_flat.astype(np.uint64), lvl_flat, self._max_depth)
-            pos = np.searchsorted(anchors_sorted, p, side="right") - 1
-            pos = np.clip(pos, 0, anchors_sorted.size - 1)
-            owner = leaf_sorted[pos]
-            contains = np.logical_and(
-                anchors_sorted[pos] <= p,
-                p - anchors_sorted[pos] < leaf_sizes[pos])
-            violates = contains & (self._level[owner] < lvl_flat)
-            new = set(owner[violates].tolist()) - to_refine
+            new = set(self._coarser_of(frontier, lookup).tolist()) - to_refine
             if not new:
                 break
             to_refine |= new
@@ -2682,9 +2664,10 @@ class SamplingTree:
                     # ``_check_nb(i)``, s_cube.py:826-848) — and a
                     # constraint-found neighbor is refined even when it is
                     # itself a surface cell at the target level
-                    direct = self._coarser_neighbors(surface)
+                    lookup = self._make_nb_lookup()
+                    direct = self._coarser_of(surface, lookup)
                     if direct.size:
-                        closure = self._expand_delta_level(direct)
+                        closure = self._expand_delta_level(direct, lookup)
                         to_refine = np.unique(
                             np.concatenate([to_refine, closure]))
                 if to_refine.size == 0:
