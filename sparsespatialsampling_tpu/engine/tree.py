@@ -1115,30 +1115,41 @@ class SamplingTree:
             # observed per-iteration count (STL workloads whose metric
             # concentrates refinement around the hole margin); a larger
             # residue leaves the remainder marked bad for the host.
+            if os.environ.get("S3_TPU_FULL_RESCUE", "1") == "0":
+                pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
+                bad = badq.reshape(-1, n_children).any(axis=1)
+                return gain_tail(level, width, gain0, pred, invalid, bad)
+
+            # conditional full scan (1024 rows) for hole-adjacent queries
+            # that failed every ring margin.  Only fs-sized outputs cross
+            # the cond boundary.  Measured tradeoff, kept deliberately:
+            # ~+4.6 ms/iter on the c3d epoch core even with the branch
+            # never taken (the cond's predicate serializes against the
+            # epoch + rings; an UNCONDITIONAL 128-row pass was tried and
+            # measured ~+14 ms/iter — _search's per-tile loop is ~32
+            # serial small kernels — and rescue-free costs whole loop
+            # exits + host retries: 11 device calls for ~20 iterations on
+            # the STL bench, ~0.9 s).
             fs = min(1024, nq)
 
             def full_rescue(_):
                 score = (badq.astype(jnp.float32) * 2.0
                          - jnp.arange(nq, dtype=jnp.float32) / nq)
                 _, rows = jax.lax.top_k(score, fs)
-                rq = qflat[rows]
-                rsq, ridx = _search(rq, points, points_sq, k, tile_n, fs)
-                return rows, rsq, values[ridx], badq[rows]
+                rsq, ridx = _search(qflat[rows], points, points_sq, k,
+                                    tile_n, fs)
+                return rows, badq[rows], rsq, values[ridx]
 
             def no_rescue(_):
                 return (jnp.full((fs,), nq, dtype=jnp.int32),
+                        jnp.zeros((fs,), jnp.bool_),
                         jnp.zeros((fs, k), sq.dtype),
-                        jnp.zeros((fs, k), vals.dtype),
-                        jnp.zeros((fs,), jnp.bool_))
+                        jnp.zeros((fs, k), vals.dtype))
 
-            rows, rsq, rvals, m = jax.lax.cond(
+            rows, m, rsq, rvals = jax.lax.cond(
                 badq.any(), full_rescue, no_rescue, None)
-            # merge OUTSIDE the cond: only the fs-sized branch outputs cross
-            # its boundary.  Carrying the [Q, k] arrays through the cond
-            # materialized copies every iteration — measured +5-7 ms/iter
-            # on the c3d epoch core with the branch NEVER taken.  Rows not
-            # rescued (and the whole skip branch) scatter at the
-            # out-of-bounds sentinel, which XLA drops.
+            # merge outside the cond; rows not rescued (and the whole skip
+            # branch) scatter at the out-of-bounds sentinel, which XLA drops
             rows_w = jnp.where(m, rows, nq)
             sq = sq.at[rows_w].set(rsq)
             vals = vals.at[rows_w].set(rvals)
@@ -1209,6 +1220,7 @@ class SamplingTree:
         # the tunnel per kernel per run); a None geometry digest disables
         # sharing for that geometry set.
         ekey = (d, k, tile_n, tile_q,
+                os.environ.get("S3_TPU_FULL_RESCUE", "1"),
                 tuple(g.cache_key for g in
                       getattr(self, "_fused_geos", self._geometry)))
 
@@ -1975,6 +1987,7 @@ class SamplingTree:
                 getattr(self._knn, "_tile_q", 0),
                 getattr(self._knn, "_n_padded", 0),
                 kg.get("rows", 0), kg.get("n_cells", 0),
+                os.environ.get("S3_TPU_FULL_RESCUE", "1"),
                 tuple(self._mesh.devices.shape) if self._mesh is not None
                 else (),
                 tuple(g.cache_key for g in
