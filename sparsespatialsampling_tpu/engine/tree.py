@@ -601,6 +601,12 @@ class SamplingTree:
         self._dil_core_args = None
         self._dil_core_kind = None      # "dil" (grid) or "full" (small cloud)
         self._device_loops = {}         # (cap, k_max) -> jitted loop fn
+        # in-kernel full-scan rescue mode: "auto" (default) starts WITHOUT
+        # the rescue pass — it costs ~4.6 ms/iter even when never taken —
+        # and enables it (rebuilding the kernels) the first time bad cells
+        # force a host escalation; "1" = always on, "0" = never
+        self._rescue_active = (
+            os.environ.get("S3_TPU_FULL_RESCUE", "auto") == "1")
         self._dev_state = None          # post-loop device arrays (re-entry)
         self._gm_stale = None           # (s0, s1) host gain/metric rows
         self._gm_src = None             # device (gain, metric, alive) source
@@ -968,6 +974,7 @@ class SamplingTree:
         knn = self._knn
         tile_n, tile_q = knn._tile_n, knn._tile_q
         n_children = 1 + 2 ** d
+        rescue_active = self._rescue_active
         geometry_and_gain, query_centers, geometry_invalid, gain_tail = \
             self._epoch_helpers()
 
@@ -1115,7 +1122,7 @@ class SamplingTree:
             # observed per-iteration count (STL workloads whose metric
             # concentrates refinement around the hole margin); a larger
             # residue leaves the remainder marked bad for the host.
-            if os.environ.get("S3_TPU_FULL_RESCUE", "1") == "0":
+            if not rescue_active:
                 pred = jnp.einsum("qk,qk->q", _idw(sq), vals)
                 bad = badq.reshape(-1, n_children).any(axis=1)
                 return gain_tail(level, width, gain0, pred, invalid, bad)
@@ -1219,8 +1226,7 @@ class SamplingTree:
         # process (a fresh jit object costs a ~0.4 s program load through
         # the tunnel per kernel per run); a None geometry digest disables
         # sharing for that geometry set.
-        ekey = (d, k, tile_n, tile_q,
-                os.environ.get("S3_TPU_FULL_RESCUE", "1"),
+        ekey = (d, k, tile_n, tile_q, rescue_active,
                 tuple(g.cache_key for g in
                       getattr(self, "_fused_geos", self._geometry)))
 
@@ -1413,10 +1419,28 @@ class SamplingTree:
         level[:m] = self._level[part]
         return fn(jnp.asarray(coords), jnp.asarray(level))
 
+    def _maybe_enable_rescue(self) -> None:
+        """First bad-cell escalation in 'auto' mode: rebuild the epoch
+        kernels (and drop the compiled loops) WITH the in-kernel full-scan
+        rescue, so every subsequent window resolves hole-adjacent queries
+        in-program instead of exiting the loop per occurrence.  Hole-free
+        workloads never pay the rescue pass's ~4.6 ms/iter this way."""
+        if (self._rescue_active or self._mesh is not None
+                or getattr(self._knn, "_grid", None) is None
+                or os.environ.get("S3_TPU_FULL_RESCUE", "auto") != "auto"):
+            return
+        logger.info("Bad cells appeared — enabling the in-kernel full-scan "
+                    "rescue for subsequent epochs.")
+        self._rescue_active = True
+        self._device_loops.clear()
+        self._build_epoch_fn()
+
     def _resolve_retries(self, retry_idx: np.ndarray, chunk_size: int) -> None:
         """Host escalation for cells whose grid kNN could not be answered
         exactly in-kernel: radius-4 ring retry, then the full scan.  Shared
         by the per-iteration host loop and the device-resident loop."""
+        if retry_idx.size:
+            self._maybe_enable_rescue()
         st = self._epoch_stats
         st["n_bad_cells"] += int(retry_idx.size)
         t_retry0 = time()
@@ -1987,7 +2011,7 @@ class SamplingTree:
                 getattr(self._knn, "_tile_q", 0),
                 getattr(self._knn, "_n_padded", 0),
                 kg.get("rows", 0), kg.get("n_cells", 0),
-                os.environ.get("S3_TPU_FULL_RESCUE", "1"),
+                self._rescue_active,
                 tuple(self._mesh.devices.shape) if self._mesh is not None
                 else (),
                 tuple(g.cache_key for g in
