@@ -156,6 +156,41 @@ def test_geometry_loop_matches_host_levels(monkeypatch, mdl):
     assert int(la.max()) == 9  # the deep geometry target was reached
 
 
+@pytest.mark.parametrize("mode", ["auto", "1", "0"],
+                         ids=["auto", "always", "never"])
+def test_full_rescue_modes_identical_grid(monkeypatch, mode):
+    """S3_TPU_FULL_RESCUE only changes WHERE bad cells are resolved
+    (in-kernel vs host escalation), never the grid: all three modes must
+    produce the same cells on a hole-heavy workload, and 'auto' must
+    actually flip the engine to rescue-active when bad cells appear."""
+    from sparsespatialsampling_tpu.engine.tree import SamplingTree
+
+    monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+    monkeypatch.setenv("S3_TPU_FULL_RESCUE", mode)
+    rng = np.random.default_rng(0)
+    xy = rng.uniform([0, 0], [1, 1], size=(9000, 2))
+    r = np.linalg.norm(xy - [0.3, 0.5], axis=1)
+    xy = xy[r > 0.12][:7000]   # big hole → ring margins fail near it
+    metric = np.exp(-np.maximum(r[r > 0.12][:7000] - 0.12, 0) / 0.05) + 0.01
+    tree = SamplingTree(xy, metric,
+                        [CubeGeometry("domain", True, [0, 0], [1, 1]),
+                         SphereGeometry("hole", False, [0.3, 0.5], 0.12)],
+                        uniform_level=3, n_cells=1500)
+    tree.refine()
+    if mode == "auto" and tree._epoch_stats["n_bad_cells"] > 0:
+        assert tree._rescue_active   # the sticky switch engaged
+    key = np.lexsort((tree.all_levels.ravel(),) + tuple(
+        np.asarray(tree.all_centers).T))
+    result = (np.asarray(tree.all_centers)[key],
+              np.asarray(tree.all_levels).ravel()[key])
+    cache = test_full_rescue_modes_identical_grid.__dict__
+    if "ref" in cache:
+        np.testing.assert_allclose(result[0], cache["ref"][0])
+        np.testing.assert_array_equal(result[1], cache["ref"][1])
+    else:
+        cache["ref"] = result
+
+
 def test_geometry_loop_pre_select_polygon(monkeypatch):
     """With pre_select_cells=True and an expensive (coordinates-2D)
     geometry, the epoch kernels run the host bbox-gated route but the
