@@ -94,6 +94,7 @@ class Report:
     def __init__(self, budget_s: float):
         self._lock = threading.Lock()
         self._t0 = time.perf_counter()
+        self._cancelled = False
         self.budget_s = budget_s
         self.data = {
             "metric": ("oat15_2d e2e refine(25k cells + airfoil geometry)"
@@ -105,6 +106,12 @@ class Report:
         }
         t = threading.Thread(target=self._watch, daemon=True)
         t.start()
+
+    def cancel(self) -> None:
+        """Disarm the watchdog (tests only — a live Report whose watchdog
+        fires os._exit(0) would kill the HOST process, e.g. a pytest run,
+        up to ``budget_s`` later)."""
+        self._cancelled = True
 
     def elapsed(self) -> float:
         return time.perf_counter() - self._t0
@@ -130,11 +137,13 @@ class Report:
                   note="completed: " + ",".join(done))
 
     def _watch(self) -> None:
-        while True:
+        while not self._cancelled:
             rem = self.remaining()
             if rem <= 0:
                 break
             time.sleep(min(rem, 5.0))
+        if self._cancelled:
+            return
         self.emit(budget_exhausted=True)
         os._exit(0)
 

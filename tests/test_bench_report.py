@@ -22,8 +22,25 @@ def _sandbox_sidecar(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "SIDECAR", str(tmp_path / "partial.json"))
 
 
-def test_emit_lines_are_cumulative_and_parseable(capsys):
-    rep = bench.Report(budget_s=60.0)
+@pytest.fixture
+def make_report():
+    """Reports whose watchdogs are DISARMED at teardown — a leaked live
+    watchdog os._exit(0)s the pytest process up to budget_s later,
+    silently truncating the suite with rc 0 (observed)."""
+    reports = []
+
+    def make(budget_s):
+        rep = bench.Report(budget_s)
+        reports.append(rep)
+        return rep
+
+    yield make
+    for rep in reports:
+        rep.cancel()
+
+
+def test_emit_lines_are_cumulative_and_parseable(capsys, make_report):
+    rep = make_report(60.0)
     rep.emit()
     rep.emit(t_probe_s=1.0)
     rep.emit(value=2.5, vs_baseline=10.0)
@@ -40,8 +57,8 @@ def test_emit_lines_are_cumulative_and_parseable(capsys):
     assert side == last
 
 
-def test_budget_accounting():
-    rep = bench.Report(budget_s=1000.0)
+def test_budget_accounting(make_report):
+    rep = make_report(1000.0)
     assert 0 <= rep.elapsed() < 5
     assert rep.remaining() > 990
     assert bench.repeat_budget_ok(rep, last_run_s=10.0)
