@@ -729,3 +729,22 @@ class TestRepeatedRunsShareExecutables:
         # inside the circle — allow one coarsest-cell half-diagonal
         # (level 4: 0.707/16 = 0.0442)
         assert not (r2_big <= 0.20 ** 2).any()
+
+
+class TestOptionalDependencyGates:
+    def test_foam_loaders_raise_clear_import_error(self):
+        """flowtorch is absent in this environment — the OpenFOAM loaders
+        must raise a targeted ImportError naming the extra, not crash with
+        an unrelated error (and importing the package must never require
+        flowtorch at all, which this suite's collection already proves)."""
+        import pytest
+        from sparsespatialsampling_tpu.utils import (
+            load_foam_data, load_original_Foam_fields, export_openfoam_fields)
+        for fn, args in ((load_foam_data, ("/nonexistent", [[0, 0], [1, 1]])),
+                         (load_original_Foam_fields,
+                          ("/nonexistent", 2, [[0, 0], [1, 1]])),
+                         (export_openfoam_fields,
+                          (type("W", (), {"n_dimensions": 2})(),
+                           "/nonexistent", [[0, 0], [1, 1]]))):
+            with pytest.raises(ImportError, match="flowtorch"):
+                fn(*args)
