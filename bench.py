@@ -119,12 +119,37 @@ class Report:
     def remaining(self) -> float:
         return self.budget_s - self.elapsed()
 
+    # Headline keys mirrored into the compact summary line.  The driver's
+    # tail capture is ~2,000 chars and parses the LAST complete JSON line;
+    # the full cumulative record outgrew that in round 4 (~4.5 KB →
+    # ``parsed: null`` despite rc=0), so every emit now ALSO prints a
+    # compact (<1 KB) line with just the per-workload headline numbers.
+    _COMPACT_KEYS = (
+        "metric", "value", "unit", "vs_baseline", "workloads_done",
+        "oat_run1_s", "oat_run2_s", "captured_metric", "n_cells",
+        "c3d_value_s", "c3d_refine_s",
+        "c2d_value_s", "c2d_vs_baseline", "c2d_captured_metric",
+        "stl_refine_s", "stl_n_calls_ring", "stl_n_calls_full",
+        "mdl_value_s", "mdl_vs_baseline",
+        "large_value_s", "large_cells_per_s", "large_n_calls_full",
+        "large_knn_build_s",
+        "gather_peak_gbps", "budget_exhausted", "error", "t_elapsed_s",
+    )
+
+    def _compact_line(self) -> str:
+        out = {k: self.data[k] for k in self._COMPACT_KEYS
+               if self.data.get(k) is not None}
+        return json.dumps(out)
+
     def emit(self, **kv) -> None:
         with self._lock:
             self.data.update(kv)
             self.data["t_elapsed_s"] = round(self.elapsed(), 1)
             line = json.dumps(self.data)
+            # full cumulative record first, compact summary LAST so the
+            # driver's bounded tail always ends on a complete short line
             print(line, flush=True)
+            print(self._compact_line(), flush=True)
             try:
                 with open(SIDECAR, "w") as fh:
                     fh.write(line + "\n")

@@ -566,8 +566,14 @@ class SamplingTree:
             v64 = np.ascontiguousarray(vertices, dtype=np.float64)
             m64 = np.ascontiguousarray(target, dtype=np.float64)
             import hashlib
+            # the key also covers the index build policy (class attrs a
+            # notebook may monkeypatch): a same-cloud rebuild under a
+            # changed policy must not silently reuse a stale index
+            policy = (KNNIndex.GRID_MIN_POINTS, KNNIndex.GRID_OCCUPANCY,
+                      KNNIndex.GRID_CAPACITY, KNNIndex.GRID_SHRINK_TARGET,
+                      KNNIndex.GRID_CHUNK)
             digest = hashlib.sha1(v64.tobytes()).hexdigest() + \
-                hashlib.sha1(m64.tobytes()).hexdigest()
+                hashlib.sha1(m64.tobytes()).hexdigest() + repr(policy)
             cached = _KNN_INDEX_CACHE.get("entry")
             if (cached is not None and cached[0] == digest
                     and cached[1] == v64.shape):
@@ -2407,9 +2413,12 @@ class SamplingTree:
     def _build_geometry_loop(self, cap: int, k_geo: int, g):
         """Device-resident geometry-refinement loop: the level-by-level
         surface refinement (reference ``s_cube.py:774-863``) runs as one
-        ``lax.while_loop`` — per level: frontier filter (+ in-program 2:1
-        expansion when the constraint is on), predicated split, fused
-        (invalid, surface) geometry flags for the children, next frontier.
+        ``lax.while_loop`` — per level: frontier filter, predicated split,
+        fused (invalid, surface) geometry flags for the children, next
+        frontier.  ``max_delta_level`` runs are deliberately routed to the
+        host per-level path instead (see the ``dev_ok`` gate below): the
+        2:1 expansion needs a global sorted-key probe per level and the
+        measured in-loop cost (0.86 s) loses to the host walk (0.29 s).
         The host previously paid one tunnel round trip per level (~40 ms
         each; the whole phase is a handful of microsecond-scale kernels)."""
         key = ("geo", cap, k_geo, id(g))

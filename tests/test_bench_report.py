@@ -47,14 +47,47 @@ def test_emit_lines_are_cumulative_and_parseable(capsys, make_report):
     rep.done("w1")
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
     parsed = [json.loads(ln) for ln in lines]          # every line parses
-    last = parsed[-1]
-    assert last["value"] == 2.5 and last["t_probe_s"] == 1.0
-    assert last["workloads_done"] == ["w1"]
-    # cumulative: later lines carry every earlier key
-    assert set(parsed[0]) <= set(last)
-    # sidecar mirrors the last line
+    # each emit prints the full cumulative record followed by a compact
+    # summary — the LAST stdout line must be the compact one (the driver's
+    # bounded tail parses the last complete line)
+    full, compact = parsed[-2], parsed[-1]
+    assert full["value"] == 2.5 and full["t_probe_s"] == 1.0
+    assert full["workloads_done"] == ["w1"]
+    assert compact["value"] == 2.5 and compact["vs_baseline"] == 10.0
+    assert compact["workloads_done"] == ["w1"]
+    assert set(compact) <= set(full)
+    # cumulative: later full lines carry every earlier key
+    assert set(parsed[0]) <= set(full)
+    # sidecar mirrors the full cumulative record
     side = json.loads(open(bench.SIDECAR).read())
-    assert side == last
+    assert side == full
+
+
+def test_compact_line_stays_short_under_huge_records(capsys, make_report):
+    """Round 4's failure mode: the cumulative line grew past the driver's
+    ~2,000-char tail capture, so no complete JSON line was in the tail.
+    The compact summary must stay well under that bound no matter how many
+    diagnostic keys the full record accumulates."""
+    rep = make_report(60.0)
+    junk = {f"diag_key_{i}_t_readback_s": round(i * 0.01, 3)
+            for i in range(400)}
+    rep.emit(value=1.25, vs_baseline=21.5,
+             oat_run1_s=9.1, oat_run2_s=1.2, c3d_value_s=2.6,
+             c2d_value_s=0.64, stl_refine_s=1.4, mdl_value_s=0.57,
+             large_value_s=11.0, large_cells_per_s=25_000.0,
+             gather_peak_gbps=62.8, **junk)
+    rep.done("all")
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    last = lines[-1]
+    assert len(last) < 1500, f"compact line too long: {len(last)}"
+    compact = json.loads(last)
+    assert compact["value"] == 1.25
+    assert compact["oat_run2_s"] == 1.2
+    assert compact["large_cells_per_s"] == 25_000.0
+    assert "diag_key_0_t_readback_s" not in compact
+    # the full record (second to last) still carries everything
+    full = json.loads(lines[-2])
+    assert full["diag_key_399_t_readback_s"] == 3.99
 
 
 def test_budget_accounting(make_report):
