@@ -309,7 +309,20 @@ _KNN_INDEX_CACHE: dict = {}
 # overhead) — the per-radius ``attempted`` plumbing stays because a plan
 # may still want mixed radii on other workloads.  Queries beyond all
 # passes fall back to the host retry escalation.
-_RING_PLAN = ((256, 4), (512, 4))
+_RING_PLAN = ((256, 4),)
+
+# Unbounded-capacity ring tail: after the static pass, remaining actionable
+# bad queries are re-answered in (rows, radius) batches inside a
+# ``lax.while_loop`` until none remain (each step marks its rows attempted,
+# so the loop terminates in ≤ ceil(nq/rows) steps structurally; typical
+# workloads run zero steps).  This replaced the second static (512, 4)
+# pass: per-epoch-op bad counts are workload-dependent and can reach ~20 %
+# of the queries on the COARSE first adaptive iterations of large domains
+# (level-4/5 wall-straddler cells whose centers sit several h outside the
+# cloud bbox — answerable at radius 4 with the boundary-aware margin, but
+# numbering thousands per op, far beyond any fixed pass budget).
+_RING_LOOP_ROWS = 1024
+_RING_LOOP_RADIUS = 4
 
 # Budget for geometry lookup tables traced into OUTER jitted kernels (the
 # fused epochs, the device loop, BatchedValidity's batch programs).  Arrays
@@ -571,7 +584,8 @@ class SamplingTree:
             # changed policy must not silently reuse a stale index
             policy = (KNNIndex.GRID_MIN_POINTS, KNNIndex.GRID_OCCUPANCY,
                       KNNIndex.GRID_CAPACITY, KNNIndex.GRID_SHRINK_TARGET,
-                      KNNIndex.GRID_CHUNK)
+                      KNNIndex.GRID_CHUNK,
+                      os.environ.get("S3_TPU_DIL_MAX_BYTES", ""))
             digest = hashlib.sha1(v64.tobytes()).hexdigest() + \
                 hashlib.sha1(m64.tobytes()).hexdigest() + repr(policy)
             cached = _KNN_INDEX_CACHE.get("entry")
@@ -610,9 +624,17 @@ class SamplingTree:
         # in-kernel full-scan rescue mode: "auto" (default) starts WITHOUT
         # the rescue pass — it costs ~4.6 ms/iter even when never taken —
         # and enables it (rebuilding the kernels) the first time bad cells
-        # force a host escalation; "1" = always on, "0" = never
-        self._rescue_active = (
-            os.environ.get("S3_TPU_FULL_RESCUE", "auto") == "1")
+        # force a host escalation; "1" = always on, "0" = never.
+        # In "auto", an OBSTACLE geometry (keep_inside=False) arms it
+        # PREEMPTIVELY: the obstacle's interior is a point-cloud void, so
+        # surface-band cells are guaranteed to fail every ring margin —
+        # without pre-arming, such runs always paid one device-loop exit +
+        # kernel rebuild just to flip the flag (measured on the STL bench:
+        # the first escalation cost 3 host ring calls and a window restart).
+        mode = os.environ.get("S3_TPU_FULL_RESCUE", "auto")
+        self._rescue_active = (mode == "1") or (
+            mode == "auto"
+            and any(not g.keep_inside for g in geometry_obj))
         self._dev_state = None          # post-loop device arrays (re-entry)
         self._gm_stale = None           # (s0, s1) host gain/metric rows
         self._gm_src = None             # device (gain, metric, alive) source
@@ -905,14 +927,12 @@ class SamplingTree:
         # results.  Memory scales with the mesh; exactness verification and
         # the full-scan retry are identical to the single-chip grid path.
         rows_per_dev = g["rows"] // knn.n_shards
-        n_sentinel = g["n_cells"]
         n_children = 1 + 2 ** d
 
         def grid_local(qflat, dil_pts, dil_cand, dil_ovf, dil_vals,
                        origin, inv_h, dims):
             me = jax.lax.axis_index(CELL_AXIS)
-            flat, margin_sq = _grid_query_margin(qflat, origin, inv_h,
-                                                 dims, n_sentinel)
+            flat, margin_sq = _grid_query_margin(qflat, origin, inv_h, dims)
             own = (flat // rows_per_dev) == me
             lflat = jnp.where(own, flat - me * rows_per_dev, 0)
             sq, idx, sel = _dilated_select(qflat, dil_pts, dil_cand,
@@ -920,7 +940,8 @@ class SamplingTree:
             vals = jnp.take_along_axis(dil_vals[lflat], sel, axis=1)
             okq = own & (sq.max(axis=1) <= margin_sq) \
                 & ~_overflow_contaminated(qflat, dil_ovf[lflat],
-                                          sq.max(axis=1), origin, inv_h)
+                                          sq.max(axis=1), origin, inv_h,
+                                          dims)
             ownf = own[:, None].astype(sq.dtype)
             # exactly one owner per query → the psum reconstructs the
             # owner's values bitwise (adding exact zeros)
@@ -1020,7 +1041,8 @@ class SamplingTree:
                 d2, cell_list[flat].reshape(q, -1), k)
             qbad = ((sq.max(axis=1) > margin_sq)
                     | _overflow_contaminated(qflat, overflow[flat],
-                                             sq.max(axis=1), origin, inv_h))
+                                             sq.max(axis=1), origin, inv_h,
+                                             dims))
             vals = values[idx]        # pointwise: [Q, k] 4-byte lookups
             return grid_tail(coords, level, lo, width, gain0, dirs, offsets,
                              qbad, sq, vals)
@@ -1090,7 +1112,7 @@ class SamplingTree:
                     rbad = ((rsq.max(axis=1) > rmargin_sq)
                             | _overflow_contaminated(rq, overflow[rflat],
                                                      rsq.max(axis=1),
-                                                     origin, inv_h,
+                                                     origin, inv_h, dims,
                                                      radius=radius))
                     rvals = values[ridx]
                     m = cand[rows]
@@ -1113,6 +1135,12 @@ class SamplingTree:
                 op = jax.lax.cond((op[2] & (op[3] < radius)).any(),
                                   make_ring(min(rr, nq), radius),
                                   lambda op: op, op)
+            # unbounded-capacity tail (see _RING_LOOP_ROWS): batches of
+            # rows not yet attempted at the loop radius, until none remain
+            op = jax.lax.while_loop(
+                lambda op: (op[2] & (op[3] < _RING_LOOP_RADIUS)).any(),
+                make_ring(min(_RING_LOOP_ROWS, nq), _RING_LOOP_RADIUS),
+                op)
             sq, vals, badq, _ = op
 
             # final in-kernel rescue: EXACT full scan for up to 1024 rows
@@ -1193,7 +1221,8 @@ class SamplingTree:
                 qbad = ((sq.max(axis=1) > margin_sq)
                         | _overflow_contaminated(qflat, overflow[flat],
                                                  sq.max(axis=1), origin,
-                                                 inv_h, radius=radius))
+                                                 inv_h, dims,
+                                                 radius=radius))
                 vals = values[idx]
                 return grid_tail(coords, level, lo, width, gain0, dirs,
                                  offsets, qbad, sq, vals)
@@ -1826,13 +1855,16 @@ class SamplingTree:
         # budget masks the extra slots
         return _bucket(max(int(max(vals)), 1), minimum=64)
 
-    def _build_device_loop(self, cap: int, k_max: int, k_sel: int):
-        key = (cap, k_max, k_sel, self._max_delta_level)
+    def _build_device_loop(self, cap: int, k_max: int, k_sel: int,
+                           iters_cap: int = None, safe_q: int = None):
+        if iters_cap is None:
+            iters_cap = self._DEVICE_LOOP_ITERS
+        key = (cap, k_max, k_sel, iters_cap, safe_q,
+               self._max_delta_level)
         if key in self._device_loops:
             return self._device_loops[key]
         d = self._n_dimensions
         n_ch = 2 ** d
-        iters_cap = self._DEVICE_LOOP_ITERS
         lev_cap = self._DEVICE_LEVEL_CAP
         core = self._dil_core
         metric_mode = self._n_cells_max is None
@@ -1952,9 +1984,22 @@ class SamplingTree:
                 level = level.at[rows_f].set(jnp.repeat(clevel, n_ch))
                 n_new = pvalid.sum() * n_ch
 
-                out = core(ccoords.reshape(-1, d).astype(jnp.float32),
-                           jnp.repeat(clevel, n_ch).astype(jnp.float32),
-                           *epoch_args)                        # [k_max·2^d, 4]
+                qc = ccoords.reshape(-1, d).astype(jnp.float32)
+                lc = jnp.repeat(clevel, n_ch).astype(jnp.float32)
+                q_total = qc.shape[0]
+                if safe_q is not None and q_total > safe_q:
+                    # worker-safe blocking: the crash threshold and the
+                    # dilated gather temp bound the per-EPOCH-OP query
+                    # count, not the program's total — run the core over
+                    # safe_q-sized blocks sequentially (q_total and safe_q
+                    # are both 64·pow2, so the split is exact)
+                    outs = jax.lax.map(
+                        lambda ab: core(ab[0], ab[1], *epoch_args),
+                        (qc.reshape(-1, safe_q, d),
+                         lc.reshape(-1, safe_q)))
+                    out = outs.reshape(q_total, -1)  # [k_sel·2^d, 4]
+                else:
+                    out = core(qc, lc, *epoch_args)            # [k_sel·2^d, 4]
                 slot = jnp.repeat(pvalid, n_ch)
                 ginv = out[:, 2] > 0.5
                 galive = slot & ~ginv
@@ -2024,7 +2069,7 @@ class SamplingTree:
                       getattr(self, "_fused_geos", self._geometry)))
         fn = cached_jit(
             ("devloop", self._dil_core_kind, cap, k_max, k_sel, mdl,
-             metric_mode, iters_cap, lev_cap, mdl_rounds) + ekey,
+             metric_mode, iters_cap, safe_q, lev_cap, mdl_rounds) + ekey,
             lambda: jax.jit(loop_fn))
         self._device_loops[key] = fn
         return fn
@@ -2041,23 +2086,26 @@ class SamplingTree:
         # (overflow guard-exits to the host's general expansion)
         k_sel = (k_max if not self._max_delta_level
                  else _bucket(4 * k_max, minimum=256))
-        # the in-loop epoch has no chunking: its per-iteration program runs
-        # k_sel*2^d cells at once, so the per-call worker-safety caps the
-        # host path enforces via _EPOCH_CHUNK must hold for k_sel itself.
-        # A budget ramp that exceeds them disables the device path for the
-        # rest of the run (sticky — the ramp bound only grows).  The 2x
-        # headroom is query-count-bound (the crash threshold is ~295k+
-        # queries, far above); the 3D grid path at C > 32 is instead
+        # the in-loop epoch honors the per-call worker-safety caps the host
+        # path enforces via _EPOCH_CHUNK: when the per-iteration budget
+        # k_sel*2^d exceeds them, the loop body runs the epoch core over
+        # ``safe``-sized blocks under lax.map (the crash threshold and the
+        # blocked/dilated gather temp are both per-EPOCH-OP bounds, not
+        # per-program — the loop already runs up to 64 epochs per program).
+        # The 2x headroom is query-count-bound (the crash threshold is
+        # ~295k+ queries, far above); the 3D grid path at C > 32 is instead
         # MEMORY-bound by the blocked/dilated gather temp — the host path
         # only doubles its chunk when C <= 32, and the loop mirrors that.
+        # A truly pathological budget (>32 blocks/iteration) still disables
+        # the device path (sticky — the ramp bound only grows).
         safe = 2 * _EPOCH_CHUNK[d]
         g = getattr(self._knn, "_grid", None)
         if d == 3 and g is not None and g.get("C", 64) > 32:
             safe = _EPOCH_CHUNK[d]
-        if k_sel * n_ch > safe:
+        if k_sel * n_ch > 32 * safe:
             logger.info("Device adaptive loop disabled: per-iteration "
                         f"budget bound {k_sel} exceeds the worker-safe "
-                        "epoch size.")
+                        "epoch size by more than the chunkable margin.")
             self._device_loop_disabled = True
             return 0
         # deep-level pre-check (heuristic; the in-loop guard is
@@ -2073,13 +2121,34 @@ class SamplingTree:
             if (sel.size and int(self._level[sel].max()) + 1
                     > self._DEVICE_LEVEL_CAP):
                 return 0
-        need = self._n_cells + self._DEVICE_LOOP_ITERS * k_sel * n_ch + 1
+        # window size: in n_cells_max mode the number of iterations to the
+        # budget is predictable (each adds ≤ cpi·(2^d − 1) net alive cells),
+        # so size the window to the estimate instead of always paying the
+        # 64-iteration capacity — the loop-state cap scales with
+        # window·k_sel·2^d, and at a 10k-cell/iter budget the difference is
+        # a 2M-row vs 8M-row state (top-k over the gain array every
+        # iteration scales with it).  Metric mode keeps the full window
+        # (its ramp makes the iteration count data-dependent).  Pow2 so the
+        # compiled loop variants stay O(log) over a whole run.
+        iters_w = self._DEVICE_LOOP_ITERS
+        if self._n_cells_max is not None:
+            est = -(-max(self._n_cells_max - self._n_cells, 1)
+                    // max(self._cells_per_iter * (n_ch - 1), 1))
+            iters_w = min(iters_w,
+                          max(8, 1 << int(est + 1).bit_length()))
+        need = self._n_cells + iters_w * k_sel * n_ch + 1
         cap = max(4096, 1 << (need - 1).bit_length())
-        fn = self._build_device_loop(cap, k_max, k_sel)
-        metric_mode = self._n_cells_max is None
-
         n0 = self._n_cells
         cache = getattr(self, "_dev_state", None)
+        if (cache is not None and cache["fill"] == n0
+                and cache["cap"] >= need):
+            # reuse the cached post-loop arrays' capacity even when the
+            # fresh estimate would size a smaller state: a re-entry scatter
+            # of the retried rows is far cheaper than a full re-upload
+            cap = cache["cap"]
+        fn = self._build_device_loop(cap, k_max, k_sel, iters_w, safe)
+        metric_mode = self._n_cells_max is None
+
         if (cache is not None and cache["cap"] == cap
                 and cache["fill"] == n0):
             # re-entry (after a bad-cell exit): the post-loop device arrays
@@ -2133,10 +2202,9 @@ class SamplingTree:
             "alive": alive_d, "gain": gain_d,
             "metric": metric_d,
             "bad": jnp.zeros(cap + 1, dtype=jnp.bool_),
-            "psel": jnp.full((self._DEVICE_LOOP_ITERS, k_sel), cap,
-                             dtype=jnp.int32),
-            "ms": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.float32),
-            "ns": jnp.zeros(self._DEVICE_LOOP_ITERS, dtype=jnp.int32),
+            "psel": jnp.full((iters_w, k_sel), cap, dtype=jnp.int32),
+            "ms": jnp.zeros(iters_w, dtype=jnp.float32),
+            "ns": jnp.zeros(iters_w, dtype=jnp.int32),
             "fill": jnp.int32(n0), "it": jnp.int32(0),
             "n_alive": jnp.int32(int(self._alive[:n0].sum())),
             "cpi": jnp.int32(self._cells_per_iter),
@@ -2178,7 +2246,7 @@ class SamplingTree:
         # per-row state (coords/level/gain/metric) never crosses the
         # tunnel: coords/level are REPLAYED from the selection history
         # below, gain/metric stay device-resident and sync lazily
-        iters = self._DEVICE_LOOP_ITERS
+        iters = iters_w
         res = np.asarray(_pack_loop_result(
             out["it"], out["fill"], out["maxlev"], out["cpi"],
             out["cpi_last"], out["ms"], out["ns"], out["alive"],

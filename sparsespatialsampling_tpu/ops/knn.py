@@ -23,6 +23,7 @@ power-of-two buckets so the number of distinct compiled shapes over a whole
 run is logarithmic, and compiled executables are persisted across processes
 via the JAX compilation cache (see ``_backend.enable_compilation_cache``).
 """
+import os
 from functools import partial
 
 import numpy as np
@@ -220,7 +221,7 @@ def _grid_flat_cells(anchors, n_cells_total, origin, inv_h, dims):
     return flat
 
 
-def _overflow_contaminated(queries, ovf_nb, sq_max, origin, inv_h,
+def _overflow_contaminated(queries, ovf_nb, sq_max, origin, inv_h, dims,
                            radius: int = 1):
     """Precise overflow verdict: a query is contaminated only if an
     OVERFLOWING neighborhood cell's box intersects its k-ball (hidden
@@ -232,11 +233,14 @@ def _overflow_contaminated(queries, ovf_nb, sq_max, origin, inv_h,
     ``ovf_nb [Q, R]`` per-neighbor overflow flags in `_neighbor_offsets`
     order (bool, or f32 0/1 — the flag tables are stored f32 on device
     because bool sub-word row gathers measured ~2x slower); ``sq_max [Q]``
-    the realized k-th squared distance."""
+    the realized k-th squared distance.  The query's home cell is CLAMPED
+    to the grid (out-of-bbox queries gather the nearest boundary cell's
+    neighborhood — the boxes tested here must be the flags' boxes)."""
     d = queries.shape[1]
     offs = jnp.asarray(_neighbor_offsets(d, radius), dtype=jnp.float32)
     h = 1.0 / inv_h
-    cc = jnp.floor((queries - origin) * inv_h)
+    cc = jnp.clip(jnp.floor((queries - origin) * inv_h), 0.0,
+                  jnp.asarray(dims, jnp.float32) - 1.0)
     lo_box = (cc[:, None, :] + offs[None, :, :]) * h + origin
     gap = jnp.maximum(jnp.maximum(lo_box - queries[:, None, :],
                                   queries[:, None, :] - (lo_box + h)), 0.0)
@@ -244,25 +248,64 @@ def _overflow_contaminated(queries, ovf_nb, sq_max, origin, inv_h,
     return ((ovf_nb > 0.5) & (dist2 <= sq_max[:, None])).any(axis=1)
 
 
+def _covered_margin_sq(t, cc, dims, inv_h, radius: int):
+    """Squared *exactness margin* of the covered neighborhood box, aware of
+    the grid boundary: every point within ``sqrt(margin_sq)`` of the anchor
+    provably lies inside the covered extent of the (2r+1)^d neighborhood of
+    (clamped) cell ``cc``, so a top-k whose worst distance stays below the
+    margin is exact.
+
+    Per axis the covered cell interval is ``[max(cc−r, 0), min(cc+r+1,
+    dims))``; a face that lies ON the grid boundary imposes NO constraint —
+    the grid spans the point cloud's bbox, so no point exists beyond it.
+    This is what makes near-wall and (clamped) outside-the-bbox queries
+    answerable by the grid at all: octree cell centers of domain-wall
+    straddler cells sit up to half a cell OUTSIDE the cloud bbox, and with
+    the old inside-only margin every one of them fell back to an exact
+    scan — 92 % of the 2M-point workload's 11.9k-bad-cell retry storm.
+
+    For an anchor OUTSIDE the bbox the plain face-distance test is far too
+    strict: its k-ball reaches the points only through a shallow cap at
+    the wall, and along any axis ``a`` a point ``p`` inside the bbox obeys
+    ``|p_a − q_a| ≤ sqrt(r² − Σ_{b≠a} out_b²)`` (``out_b`` = the anchor's
+    outside distance along axis ``b``).  The per-axis acceptance is
+    therefore ``r² ≤ face_dist_a² + Σ_{b≠a} out_b²`` — for a domain-wall
+    straddler cell center 6h outside, the in-plane faces at ~1h admit a
+    36h²-larger ball than the naive test, which is exactly why those
+    queries are answerable by the 3^d neighborhood at all (they were the
+    bulk of the 2M-point workload's retry storm: coarse straddlers sit
+    many h outside, beyond ANY fixed rescue-ring radius).
+
+    The result is capped at 9e28, just below the 1e30-scale squared
+    distances of the 1e15 pad slots: a fully boundary-covered neighborhood
+    (margin = +inf) must still reject rows whose top-k ran out of real
+    candidates."""
+    h = 1.0 / inv_h
+    # outside distance per axis, squared (0 inside the bbox)
+    out = jnp.maximum(jnp.maximum(t - dims, -t), 0.0) * h               # [Q, d]
+    out_sq = out * out
+    oth = out_sq.sum(axis=1, keepdims=True) - out_sq                    # [Q, d]
+    dlo = t - jnp.maximum(cc - radius, 0)                               # [Q, d]
+    dhi = jnp.minimum(cc + radius + 1, dims) - t
+    dlo = jnp.where(cc - radius <= 0, jnp.inf, dlo)
+    dhi = jnp.where(cc + radius + 1 >= dims, jnp.inf, dhi)
+    face = jnp.minimum(dlo, dhi) * h                                    # [Q, d]
+    margin_sq = ((face * face + oth) * (1.0 - 1e-4)).min(axis=1)        # [Q]
+    return jnp.minimum(margin_sq, 9e28)
+
+
 def _grid_neighborhood(anchors, n_cells_total, origin, inv_h, dims,
                        radius: int = 1):
     """Flat ids of each anchor's (2r+1)^d grid neighborhood plus the squared
-    *exactness margin*: every point within ``sqrt(margin_sq)`` of the anchor
-    provably lies inside the neighborhood's spatial extent, so a top-k whose
-    worst distance stays below the margin is exact.  The margin is the
-    distance from the anchor to the nearest face of its block — between
-    ``r·h`` (anchor on a cell face) and ``(r+0.5)·h`` (anchor at a cell
-    center) — a strictly better acceptance test than the conservative
-    constant ``r·h`` and therefore fewer fallbacks near density dips.
+    exactness margin (see :func:`_covered_margin_sq`).  Anchors outside the
+    grid bbox are clamped to their nearest boundary cell — the margin then
+    accounts for the anchor-to-box distance exactly.
     Returns ``(flat [Q, (2r+1)^d], margin_sq [Q])``."""
     d = anchors.shape[1]
     offs = jnp.asarray(_neighbor_offsets(d, radius))
     t = (anchors - origin) * inv_h
-    cc = jnp.floor(t).astype(jnp.int32)                                 # [Q, d]
-    frac = jnp.clip(t - cc, 0.0, 1.0)                                   # [Q, d]
-    h = 1.0 / inv_h
-    margin = (radius + jnp.minimum(frac, 1.0 - frac).min(axis=1)) * h   # [Q]
-    margin_sq = (margin * margin) * (1.0 - 1e-4)
+    cc = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, dims - 1)          # [Q, d]
+    margin_sq = _covered_margin_sq(t, cc, dims, inv_h, radius)
     nb = cc[:, None, :] + offs[None, :, :]                              # [Q, R, d]
     valid = jnp.logical_and(nb >= 0, nb < dims[None, None, :]).all(-1)  # [Q, R]
     flat = nb[..., 0]
@@ -321,7 +364,7 @@ def _grid_query_kernel(queries, cell_pts, cell_list, cell_overflow, origin,
     sq, idx, _ = _topk_canonical(d2, cand, k)
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, ovf_nb, sq.max(axis=1),
-                                    origin, inv_h))
+                                    origin, inv_h, dims))
     return sq, idx, ok
 
 
@@ -333,7 +376,7 @@ def _grid_predict_kernel(queries, cell_pts, cell_vals, cell_list,
     sq, idx, sel = _topk_canonical(d2, cand, k)
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, ovf_nb, sq.max(axis=1),
-                                    origin, inv_h))
+                                    origin, inv_h, dims))
     w = _idw(sq)
     # values gathered from the same blocked layout, then selected
     q = queries.shape[0]
@@ -395,61 +438,115 @@ def _cell_vals_device(cells, pos, order, values_sorted, n_rows, C):
     return out.at[cells, pos].set(values_sorted[order])
 
 
-@jax.jit
-def _dilate(arr, nb):
-    """Concatenate each cell's 3^d neighborhood rows: ``arr [n, W]``,
-    ``nb [n, 3^d]`` → ``[n, 3^d·W]`` (one-time build of the dilated grid
-    layout; the slow pointwise gather runs once here instead of per query)."""
-    return arr[nb].reshape(nb.shape[0], -1)
+# rows per block of the chunked dilated-layout builders: bounds the
+# full-width [block, 3^d·C·(d+1)] sort transients to ~350 MB regardless of
+# cell count (the unchunked build materialized ~5.5 GB of transients at a
+# 2M-point / 200k-cell grid, which is why the dilated layout used to be
+# size-gated off exactly where the at-scale workloads need it most)
+_DILATE_BLOCK = 8192
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _sort_dilated(dil_pts, dil_cand, d, keep):
-    """Sort every dilated row's candidates ascending by global (sorted-
-    position) point index — pad slots (index = n_points) land last.
-    ``lax.top_k`` is stable (equal values keep ascending position), so the
-    query kernels then resolve f32 distance ties at the k-boundary by
-    ascending index — the canonical order every kNN path emits — with ONE
-    plain ``top_k(k)``: no +8 slack widening and no [Q, k] 2-key re-sort
-    per call (~10 ms per epoch call saved).
+@partial(jax.jit, static_argnums=(3, 4))
+def _dilate_sorted_chunked(cell_pts_flat, cell_list, nb, d, keep):
+    """Build the dilated grid layout, sorted and compacted, in row blocks.
 
-    ``keep`` compacts the sorted rows to the max ACTUALLY OCCUPIED width
-    (pads sort last, so the slice is bit-exact; see
-    :func:`_max_dilated_occupancy`) — every per-query epoch cost (row
-    gather, distance reduce, top-k) scales with the row width, and the
-    occupied width measured 355 of 864 slots on the 500k-point c3d bench
-    layout (155/288 on OAT): a free ~2.2x on the dominant epoch terms.
+    Each cell's 3^d neighborhood rows are concatenated (``[n, 3^d·C]``
+    wide), sorted ascending by global (sorted-position) point index — pad
+    slots (index = n_points) land last — and compacted to the max ACTUALLY
+    OCCUPIED width ``keep`` (see :func:`_max_dilated_occupancy`; the slice
+    is bit-exact because pads sort last).  Sorted rows let the query
+    kernels resolve f32 distance ties at the k-boundary by ascending index
+    (the canonical order every kNN path emits) with ONE plain stable
+    ``top_k(k)`` — no slack widening, no [Q, k] 2-key re-sort (~10 ms per
+    epoch call saved) — and the ``keep`` compaction measured a free ~2.2x
+    on the dominant epoch terms (355 of 864 slots occupied on the c3d
+    layout).
 
-    The permutation is applied by carrying the coordinate columns through
-    ONE stable variadic ``lax.sort`` instead of ``argsort`` +
-    ``take_along_axis``: the wide pointwise row gathers measured 1.06 s on
-    the 500k-point c3d layout ([49k, 864(,3)]) vs 42 ms for the variadic
-    sort, bitwise-identical outputs — this was most of the index build's
-    device tail, silently absorbed by the first uniform-phase readback."""
-    n, w = dil_cand.shape
-    p = dil_pts.reshape(n, w, d)
-    out = jax.lax.sort((dil_cand,) + tuple(p[:, :, i] for i in range(d)),
-                       dimension=1, num_keys=1, is_stable=True)
-    pts = jnp.stack(out[1:], axis=-1)[:, :keep, :]
-    return pts.reshape(n, -1), out[0][:, :keep]
+    The permutation is applied by carrying the coordinate lanes through
+    ONE stable variadic ``lax.sort`` (argsort + pointwise row gathers
+    measured 25x slower on the same layout).  Processing ``_DILATE_BLOCK``
+    rows at a time inside a ``fori_loop`` keeps the full-width transients
+    bounded; the final block overlaps the previous one when the row count
+    is not a multiple (overlapped rows recompute identical values, so the
+    duplicate writes are benign and the result is bit-identical to an
+    unchunked build)."""
+    n_rows = cell_list.shape[0]
+    block = min(n_rows, _DILATE_BLOCK)
+    n_blocks = -(-n_rows // block)
+    out_pts = jnp.zeros((n_rows, keep * d), jnp.float32)
+    out_cand = jnp.zeros((n_rows, keep), jnp.int32)
+
+    def body(i, outs):
+        op, oc = outs
+        start = jnp.minimum(i * block, n_rows - block)
+        rows = jax.lax.dynamic_slice_in_dim(nb, start, block)    # [B, 3^d]
+        pts_u = cell_pts_flat[rows].reshape(block, -1, d)        # [B, W, d]
+        cand_u = cell_list[rows].reshape(block, -1)              # [B, W]
+        srt = jax.lax.sort(
+            (cand_u,) + tuple(pts_u[:, :, j] for j in range(d)),
+            dimension=1, num_keys=1, is_stable=True)
+        pts_k = jnp.stack(srt[1:], axis=-1)[:, :keep, :]
+        op = jax.lax.dynamic_update_slice_in_dim(
+            op, pts_k.reshape(block, keep * d), start, 0)
+        oc = jax.lax.dynamic_update_slice_in_dim(
+            oc, srt[0][:, :keep], start, 0)
+        return op, oc
+
+    return jax.lax.fori_loop(0, n_blocks, body, (out_pts, out_cand))
 
 
 @partial(jax.jit, static_argnums=(3,))
-def _dil_vals_device(cell_vals, cell_list, nb, keep):
-    """Dilated scalar-value rows aligned with the SORTED ``dil_cand`` layout.
+def _dil_vals_chunked(cell_vals, cell_list, nb, keep):
+    """Dilated scalar-value rows aligned with the SORTED ``dil_cand`` layout
+    (same blocking as :func:`_dilate_sorted_chunked`).
 
-    Re-runs the same stable sort keys as :func:`_sort_dilated` (ascending
-    candidate index, same ``keep`` compaction), so slot ``j`` of row ``i``
-    holds the value of ``dil_cand[i, j]`` exactly — the fused epoch then
-    gathers its selected neighbor values with ONE pointwise ``[Q, k]``
-    lookup from these rows instead of the serial pair (candidate-id lookup,
-    then value lookup at its result), each ~5 ms per 36.8k queries on the
-    v5e."""
-    vals_u = cell_vals[nb].reshape(nb.shape[0], -1)
-    cand_u = cell_list[nb].reshape(nb.shape[0], -1)
-    out = jax.lax.sort((cand_u, vals_u), dimension=1, num_keys=1,
-                       is_stable=True)
-    return out[1][:, :keep]
+    Re-runs the same stable sort keys (ascending candidate index, same
+    ``keep`` compaction), so slot ``j`` of row ``i`` holds the value of
+    ``dil_cand[i, j]`` exactly — the fused epoch then gathers its selected
+    neighbor values with ONE pointwise ``[Q, k]`` lookup from these rows
+    instead of the serial pair (candidate-id lookup, then value lookup at
+    its result), each ~5 ms per 36.8k queries on the v5e."""
+    n_rows = cell_list.shape[0]
+    block = min(n_rows, _DILATE_BLOCK)
+    n_blocks = -(-n_rows // block)
+    out_vals = jnp.zeros((n_rows, keep), jnp.float32)
+
+    def body(i, ov):
+        start = jnp.minimum(i * block, n_rows - block)
+        rows = jax.lax.dynamic_slice_in_dim(nb, start, block)
+        vals_u = cell_vals[rows].reshape(block, -1)
+        cand_u = cell_list[rows].reshape(block, -1)
+        srt = jax.lax.sort((cand_u, vals_u), dimension=1, num_keys=1,
+                           is_stable=True)
+        return jax.lax.dynamic_update_slice_in_dim(
+            ov, srt[1][:, :keep], start, 0)
+
+    return jax.lax.fori_loop(0, n_blocks, body, out_vals)
+
+
+@jax.jit
+def _fill_from_flat(flat_pad):
+    """Derive the grid fill triplet ``(cells, pos, order)`` on device from
+    per-point flat cell ids (in Morton-sorted point order).
+
+    The host plan already computed these (cheap numpy), but uploading only
+    the 4-byte/point flat ids and re-deriving the triplet here cuts the
+    build's link traffic by ~2/3 (the triplet is 12 bytes/point; at 2M
+    points that is 16 MB saved through a tunnel that can run at 2 MB/s).
+    Membership is bit-exact with the host plan because the flat ids
+    themselves are host-computed — only the (stable) grouping runs here.
+
+    Pad entries carry the sentinel ``n_rows`` so they sort last; their
+    scatter targets are out of bounds and therefore dropped."""
+    n = flat_pad.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    flat_s, order = jax.lax.sort((flat_pad, iota), dimension=0, num_keys=1,
+                                 is_stable=True)
+    is_start = jnp.concatenate([jnp.ones((1,), bool),
+                                flat_s[1:] != flat_s[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
+    pos = iota - seg_start
+    return flat_s, pos, order
 
 
 def _max_dilated_occupancy(plan: dict) -> int:
@@ -476,21 +573,21 @@ def _dilate_flags(flags, nb):
     return flags[nb]
 
 
-def _grid_query_margin(queries, origin, inv_h, dims, n_sentinel):
-    """Flat cell id + exactness margin of each query for the DILATED layout
-    (the query's own cell indexes the pre-concatenated neighborhood)."""
+def _grid_query_margin(queries, origin, inv_h, dims):
+    """Flat (clamped) cell id + boundary-aware exactness margin of each
+    query for the DILATED layout (the query's own cell indexes the
+    pre-concatenated neighborhood; see :func:`_covered_margin_sq`).
+    Queries outside the grid bbox map to their nearest boundary cell —
+    every query therefore gathers a real dilated row, and the margin
+    decides exactness."""
     d = queries.shape[1]
     t = (queries - origin) * inv_h
-    cc = jnp.floor(t).astype(jnp.int32)
-    frac = jnp.clip(t - cc, 0.0, 1.0)
-    h = 1.0 / inv_h
-    margin = (1.0 + jnp.minimum(frac, 1.0 - frac).min(axis=1)) * h
-    margin_sq = margin * margin * (1.0 - 1e-4)
-    inside = jnp.logical_and(cc >= 0, cc < dims[None, :]).all(-1)
+    cc = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, dims[None, :] - 1)
+    margin_sq = _covered_margin_sq(t, cc, dims[None, :], inv_h, radius=1)
     flat = cc[..., 0]
     for ax in range(1, d):
         flat = flat * dims[ax] + cc[..., ax]
-    return jnp.where(inside, flat, n_sentinel), margin_sq
+    return flat, margin_sq
 
 
 def _dilated_select(queries, dil_pts, dil_cand, flat, k,
@@ -566,13 +663,12 @@ def _dilated_topk(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h, dims,
 
     Returns ``(sq [Q, k], idx [Q, k], sel [Q, k], ok [Q], flat [Q])`` in
     canonical ascending ``(sq, idx)`` order."""
-    flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims,
-                                         dil_pts.shape[0] - 1)
+    flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims)
     sq, idx, sel = _dilated_select(queries, dil_pts, dil_cand, flat, k,
                                    sorted_rows=sorted_rows)
     ok = ((sq.max(axis=1) <= margin_sq)
           & ~_overflow_contaminated(queries, dil_ovf[flat], sq.max(axis=1),
-                                    origin, inv_h))
+                                    origin, inv_h, dims))
     return sq, idx, sel, ok, flat
 
 
@@ -682,7 +778,11 @@ def _plan_grid(points: np.ndarray, n_points: int, pad_idx: int,
 
     plan = {"h": float(h), "C": C, "n_cells": n_cells, "origin": lo,
             "dims": dims, "overflow": overflow,
-            "fill": (flat[order][keep], pos_in_cell[keep], order[keep])}
+            "fill": (flat[order][keep], pos_in_cell[keep], order[keep]),
+            # per-point flat cell ids in input (Morton-sorted) order: the
+            # single-chip build uploads ONLY these and re-derives the fill
+            # triplet on device (_fill_from_flat) — 1/3 the link bytes
+            "flat_ids": flat.astype(np.int32)}
     if host_arrays:
         # single-chip callers build these ON DEVICE from the fill triplet
         # (the triplet is ~2.4x smaller on the link than cell_list alone);
@@ -878,19 +978,17 @@ class KNNIndex:
                           shrink_target=self.GRID_SHRINK_TARGET)
         C = plan["C"]
         n_rows = plan["n_cells"] + 1
-        # upload the fill triplet once (padded to a pow2 bucket with
-        # out-of-bounds rows, which XLA's scatter drops) and assemble the
-        # blocked layouts on device — cell_list alone is ~2.4x the triplet
-        # on the link, and cell_vals then costs no upload at all
-        cells, pos, order = plan["fill"]
-        n_fill = cells.size
-        n_pad = _bucket_pow2(max(n_fill, 1), 4096)
-        trip = np.full((3, n_pad), n_rows, dtype=np.int32)  # OOB row pad
-        trip[0, :n_fill] = cells
-        trip[1, :n_fill] = pos
-        trip[2, :n_fill] = np.minimum(order, self._pad_idx)
-        trip_dev = jnp.asarray(trip)
-        fill_dev = (trip_dev[0], trip_dev[1], trip_dev[2])
+        # upload only the per-point flat cell ids (padded to a pow2 bucket
+        # with the out-of-bounds sentinel, which XLA's scatter drops) and
+        # derive the fill triplet + blocked layouts on device — the ids are
+        # 1/3 the link bytes of the fill triplet, and cell_list/cell_vals
+        # then cost no upload at all.  Entries whose in-cell position
+        # exceeds C scatter out of bounds column-wise and are dropped,
+        # exactly like the host plan's ``keep`` filter.
+        n_pad = _bucket_pow2(max(self.n_points, 1), 4096)
+        fl = np.full((n_pad,), n_rows, dtype=np.int32)
+        fl[:self.n_points] = plan["flat_ids"]
+        fill_dev = _fill_from_flat(jnp.asarray(fl))
         cell_list_dev = _cell_list_device(
             *fill_dev, n_rows, C, self._pad_idx)
         self._grid = {
@@ -925,9 +1023,15 @@ class KNNIndex:
         occ = _max_dilated_occupancy(plan)
         keep_w = int(min(full_w, max(128, -(-occ // 64) * 64)))
         # d coord lanes + candidate ids + overflow flags + (set_values)
-        # the scalar dilated value rows
+        # the scalar dilated value rows.  The gate is on PERSISTENT bytes
+        # only — the chunked builders bound the build transients — and
+        # defaults to 4 GB (the v5e has 16 GB HBM; a 2M-point/200k-cell
+        # grid needs 1.8 GB, and losing the dilated layout also loses the
+        # device-resident adaptive loop, which cost a measured ~45x in
+        # per-cell throughput at that scale).  Beyond the gate the blocked
+        # 3^d-gather path still works; override with S3_TPU_DIL_MAX_BYTES.
         dil_bytes = (n_cells + 1) * keep_w * (d + 3) * 4
-        if dil_bytes <= 1.5e9:
+        if dil_bytes <= float(os.environ.get("S3_TPU_DIL_MAX_BYTES", 4e9)):
             nb_dev = _neighbor_table_jit(
                 tuple(int(x) for x in plan["dims"]), n_cells, d)
             self._grid["_nb"] = nb_dev
@@ -935,12 +1039,11 @@ class KNNIndex:
             g = self._grid
             # rows sorted ascending by candidate index: canonical k-boundary
             # tie-breaks then fall out of lax.top_k's stability (see
-            # _sort_dilated / _dilated_select)
-            dil_pts = _dilate(g["cell_pts"].reshape(n_cells + 1, C * d),
-                              nb_dev)
-            dil_cand = _dilate(g["cell_list"], nb_dev)
-            self._grid["dil_pts"], self._grid["dil_cand"] = _sort_dilated(
-                dil_pts, dil_cand, d, keep_w)
+            # _dilate_sorted_chunked / _dilated_select)
+            self._grid["dil_pts"], self._grid["dil_cand"] = \
+                _dilate_sorted_chunked(
+                    g["cell_pts"].reshape(n_cells + 1, C * d),
+                    g["cell_list"], nb_dev, d, keep_w)
             self._grid["dil_ovf"] = _dilate_flags(g["overflow"], nb_dev)
 
     def _morton_codes(self, pts: np.ndarray) -> np.ndarray:
@@ -979,7 +1082,7 @@ class KNNIndex:
                 # sorted dilated value rows (see _dil_vals_device); pad
                 # cell_vals slots are 0 but only appear in rows whose
                 # exactness margin already failed
-                self._grid["dil_vals"] = _dil_vals_device(
+                self._grid["dil_vals"] = _dil_vals_chunked(
                     self._grid["cell_vals"], self._grid["cell_list"],
                     self._grid["_nb"], self._grid["_dil_keep"])
 

@@ -183,15 +183,15 @@ class ShardedKNNIndex:
         def kernel(queries, dil_pts, dil_cand, dil_ovf, origin, inv_h,
                    dims):
             me = jax.lax.axis_index(CELL_AXIS)
-            flat, margin_sq = _grid_query_margin(queries, origin, inv_h,
-                                                 dims, n_sentinel)
+            flat, margin_sq = _grid_query_margin(queries, origin, inv_h, dims)
             own = (flat // rows_per_dev) == me
             lflat = jnp.where(own, flat - me * rows_per_dev, 0)
             sq, idx, _ = _dilated_select(queries, dil_pts, dil_cand,
                                          lflat, k)
             okq = own & (sq.max(axis=1) <= margin_sq) \
                 & ~_overflow_contaminated(queries, dil_ovf[lflat],
-                                          sq.max(axis=1), origin, inv_h)
+                                          sq.max(axis=1), origin, inv_h,
+                                          dims)
             # exactly one owner per query → psum reconstructs its values
             idx = jax.lax.psum(jnp.where(own[:, None], idx, 0), CELL_AXIS)
             ok = jax.lax.psum(okq.astype(jnp.int32), CELL_AXIS) > 0

@@ -431,6 +431,63 @@ class TestFastWinding:
         assert mask.tolist() == [True, False, False, True]
 
 
+class TestHoledSTL:
+    """Graceful-degradation contract for NON-WATERTIGHT input (the
+    reference repairs such meshes with pymeshfix,
+    ``geometry_STL_3d.py:136-158``; this engine instead diagnoses the
+    defect and degrades gracefully): the winding number of a holed surface
+    is ``1 − Ω_hole/4π`` inside and ``−Ω_hole/4π`` outside, so the 0.5
+    threshold stays correct for every query whose view of the hole
+    subtends less than 2π — i.e. everywhere beyond ~the hole's own scale.
+    A warning must name the defect so users know to repair the mesh when
+    they need exactness near the hole."""
+
+    @pytest.fixture(scope="class")
+    def holed_sphere(self, tmp_path_factory):
+        import sys
+        from os.path import dirname
+        sys.path.insert(0, dirname(dirname(__file__)))
+        from bench import synthetic_sphere_stl
+        from sparsespatialsampling_tpu.geometry.stl import (read_stl,
+                                                            write_stl)
+        tmp = tmp_path_factory.mktemp("holed")
+        full = str(tmp / "full.stl")
+        synthetic_sphere_stl(full, n_lat=60, n_lon=48)
+        tris = read_stl(full)
+        # punch a cap-shaped hole at the north pole: drop triangles whose
+        # centroid lies above z = c_z + 0.96 r  (hole radius ~0.28 r)
+        cent = tris.mean(axis=1)
+        keep = cent[:, 2] < 0.2 + 0.96 * 0.05
+        assert (~keep).sum() > 10
+        holed = str(tmp / "holed.stl")
+        write_stl(holed, tris[keep])
+        return holed
+
+    def test_warns_and_classifies_away_from_hole(self, holed_sphere,
+                                                 caplog):
+        import logging
+        with caplog.at_level(logging.WARNING,
+                             logger="sparsespatialsampling_tpu"):
+            g = GeometrySTL3D("holed", False, holed_sphere)
+        assert any("not closed/manifold" in r.message
+                   for r in caplog.records)
+
+        rng = np.random.default_rng(5)
+        rd = rng.normal(size=(3000, 3))
+        rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+        radii = rng.uniform(0.0, 2.0, size=(3000, 1)) * 0.05
+        pts = (0.2 + rd * radii).astype(np.float64)
+        rr = np.linalg.norm(pts - 0.2, axis=1)
+        # exclusion zones: the faceting band at the surface, and a ball of
+        # twice the hole radius around the hole center (0.2, 0.2, 0.25)
+        hole_c = np.asarray([0.2, 0.2, 0.25])
+        d_hole = np.linalg.norm(pts - hole_c, axis=1)
+        eval_mask = (np.abs(rr - 0.05) > 1e-3) & (d_hole > 2 * 0.014)
+        got = np.asarray(g.mask_points(pts))
+        np.testing.assert_array_equal(got[eval_mask],
+                                      (rr < 0.05)[eval_mask])
+
+
 class TestSignGrid:
     """The voxel sign grid answers far-from-surface queries with one int8
     gather; its classification must be indistinguishable from the exact

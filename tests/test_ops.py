@@ -343,7 +343,13 @@ class TestBucketGrid:
         assert g is not None and "dil_cand" in g
         dims = np.asarray(g["dims"])
         n_cells = int(np.prod(dims))
-        cells = np.asarray(index._grid_fill[0])
+        # _grid_fill is the device-derived grouping of ALL points (pads
+        # carry the sentinel row, over-capacity members a pos >= C whose
+        # scatter is dropped) — filter to the entries that actually landed
+        # in the blocked layout, mirroring the host plan's ``keep``
+        cells_all = np.asarray(index._grid_fill[0])
+        pos_all = np.asarray(index._grid_fill[1])
+        cells = cells_all[(cells_all < n_cells) & (pos_all < g["C"])]
         occ = _max_dilated_occupancy(
             {"dims": dims, "n_cells": n_cells, "fill": (cells,)})
         # independent exact occupancy: capped member counts summed over each

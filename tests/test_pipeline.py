@@ -748,3 +748,78 @@ class TestOptionalDependencyGates:
                            "/nonexistent", [[0, 0], [1, 1]]))):
             with pytest.raises(ImportError, match="flowtorch"):
                 fn(*args)
+
+    def test_export_openfoam_fields_with_stub_loader(
+            self, cloud_2d, executed_s3, tmp_path, monkeypatch):
+        """Drive the FOAM batch-export loop end-to-end WITHOUT flowtorch
+        (reference ``utils.py:155-226``): a stub ``FOAMDataloader`` stands
+        in for the real one, so the batching, masking, field discovery,
+        write-times backfill and ``n_snapshots_total`` bookkeeping all
+        execute — previously only the ImportError gate was testable here."""
+        from sparsespatialsampling_tpu import utils as s3_utils
+
+        xy, metric = cloud_2d
+        times = [f"{t:.2f}" for t in (0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6)]
+
+        class StubFOAMDataloader:
+            def __init__(self, load_dir):
+                self.load_dir = load_dir
+                # first write time is the initial condition (skipped by
+                # the loaders, reference utils.py:47)
+                self.write_times = times
+                self.field_names = {t: ["p", "U"] for t in times}
+                self.vertices = np.column_stack([xy, np.zeros(len(xy))])
+                self.weights = np.ones(len(xy), dtype=np.float64)
+
+            def load_snapshot(self, field, t):
+                phase = 1.0 + 0.1 * float(t)
+                if field == "p":
+                    return (metric * phase).astype(np.float32)
+                return np.stack([metric * phase, -metric * phase,
+                                 np.zeros_like(metric)],
+                                axis=1).astype(np.float32)
+
+        def stub_mask_box(vertices, lower, upper):
+            v = np.asarray(vertices)
+            return ((v >= np.asarray(lower)) &
+                    (v <= np.asarray(upper))).all(axis=1)
+
+        monkeypatch.setattr(
+            s3_utils, "_require_flowtorch",
+            lambda: (StubFOAMDataloader, stub_mask_box))
+
+        # field discovery + write-times query route
+        wt, names = s3_utils.load_original_Foam_fields(
+            "/stub", 2, [[0, 0], [1, 1]], get_field_names_and_times=True)
+        assert wt == times[1:] and names == ["p", "U"]
+
+        # load_foam_data: scalar + vector routes with the t_start filter
+        data, coords, w, wt = s3_utils.load_foam_data(
+            "/stub", [[0, 0], [1, 1]], field_name="p", t_start=0.3)
+        assert data.shape == (len(xy), 4) and wt == times[3:]
+        vec, coords, w, wt = s3_utils.load_foam_data(
+            "/stub", [[0, 0], [1, 1]], field_name="U", t_start=0.3,
+            scalar=False)
+        assert vec.shape == (len(xy), 2, 4)
+
+        # the batch-export loop: 6 post-initial times in batches of 2,
+        # one scalar + one vector field, write_times backfilled from the
+        # stub loader (datawriter constructed without them).  A fresh s3
+        # in tmp_path — the module-scoped executed_s3's HDF5 already
+        # carries other tests' fields.
+        s3 = SparseSpatialSampling(
+            xy, metric, [CubeGeometry("domain", True, [0, 0], [1, 1])],
+            save_path=str(tmp_path), save_name="foam", uniform_levels=3,
+            min_metric=0.8)
+        s3.execute_grid_generation()
+        exp = ExportData(s3)
+        s3_utils.export_openfoam_fields(exp, "/stub", [[0, 0], [1, 1]],
+                                        batch_size=2)
+        assert exp.write_times == times[1:]
+        dl = Dataloader(str(tmp_path), "foam.h5")
+        assert sorted(dl.write_times, key=float) == times[1:]
+        for field, comps in (("p", 1), ("U", 3)):
+            snaps = np.asarray(dl.load_snapshot(field))
+            assert snaps.shape[0] == dl.n_cells
+            assert snaps.shape[-1] == len(times[1:])
+            assert np.isfinite(snaps).all()
