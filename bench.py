@@ -514,12 +514,18 @@ def run_large(tmp, n_points: int = 2_000_000):
     os.environ["S3_TPU_EXPORT_PREFETCH"] = "0"
     try:
         t0 = time.perf_counter()
+        # iteration budget 2000: the largest per-iteration budget whose
+        # device-loop program shape is TPU-validated at this scale (the
+        # while-ring epoch core crashes the worker inside longer per-
+        # iteration lax.maps — see _device_adaptive_call's 2-block bound);
+        # bigger budgets fall back to host epochs, which cost one round
+        # trip per iteration
         s3 = SparseSpatialSampling(
             xyz, metric,
             [CubeGeometry("domain", True, [0, 0, 0], [4, 1, 1])],
             save_path=tmp, save_name="large",
             uniform_levels=4, n_cells_max=200_000,
-            n_cells_iter_start=n_points // 200)
+            n_cells_iter_start=2000)
         s3.execute_grid_generation()
         t_refine = time.perf_counter() - t0
     finally:

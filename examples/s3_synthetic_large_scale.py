@@ -45,7 +45,9 @@ def main():
         xyz, metric, [CubeGeometry("domain", True, [0, 0, 0], [4, 1, 1])],
         save_path="./s3_large", save_name="large",
         uniform_levels=4, n_cells_max=int(args.n_cells),
-        n_cells_iter_start=max(1000, n_points // 200))
+        # 2000/iteration keeps the refinement on the device-resident loop
+        # (bigger budgets fall back to one host round trip per iteration)
+        n_cells_iter_start=2000)
     s3.execute_grid_generation()
     t_refine = time.perf_counter() - t0
     n_cells = s3.faces.shape[0]

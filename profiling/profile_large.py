@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     n_points = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    cpi = int(sys.argv[3]) if len(sys.argv) > 3 else max(1000, n_points // 200)
 
     rng = np.random.default_rng(0)
     xyz = rng.uniform([0, 0, 0], [4, 1, 1], size=(n_points, 3)).astype(np.float32)
@@ -86,7 +87,7 @@ def main():
             xyz, metric, [CubeGeometry("domain", True, [0, 0, 0], [4, 1, 1])],
             save_path=tmp, save_name="large",
             uniform_levels=4, n_cells_max=200_000,
-            n_cells_iter_start=max(1000, n_points // 200))
+            n_cells_iter_start=cpi)
         s3.execute_grid_generation()
         t_refine = time.perf_counter() - t0
         dfm = s3.data_final_mesh

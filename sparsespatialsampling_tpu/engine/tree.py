@@ -1923,7 +1923,19 @@ class SamplingTree:
                 k_budget = jnp.minimum(cpi2, s["fill"])
                 masked = jnp.where(s["alive"][:cap], s["gain"][:cap],
                                    -jnp.inf)
-                topv, sel = jax.lax.top_k(masked, k_max)
+                if k_max > 2048:
+                    # large-k top_k over the cap-sized gain array is the
+                    # prime suspect in a deterministic TPU worker crash at
+                    # k_max >= 8192 (and was measured far slower than a
+                    # full sort at the geometry loop's widths anyway); a
+                    # stable 2-key sort gives the identical selection —
+                    # descending gain, ties ascending row
+                    neg, srt = jax.lax.sort(
+                        (-masked, jnp.arange(cap, dtype=jnp.int32)),
+                        num_keys=1, is_stable=True)
+                    topv, sel = -neg[:k_max], srt[:k_max]
+                else:
+                    topv, sel = jax.lax.top_k(masked, k_max)
                 pvalid = ((jnp.arange(k_max) < k_budget)
                           & (topv > -jnp.inf))
                 if not mdl:
@@ -1952,6 +1964,16 @@ class SamplingTree:
                 plevel = s["level"][parents]
                 guard = guard | (jnp.where(pvalid, plevel, 0).max() + 1
                                  > lev_cap)
+                # fill guard: never write child rows past the state
+                # capacity — a window that runs out of room predicates to
+                # a no-op and flags, and the host re-enters with a larger
+                # cap.  This is what lets metric-mode callers size the
+                # state to EXPECTED growth instead of the 64-iteration
+                # worst case (every per-iteration cost — the gain top-k,
+                # the 2:1 expansion's cap-wide sorts, the scatters —
+                # scales with cap; the mdl bench ran them over a 524k-row
+                # state to produce a 9k-cell grid).
+                guard = guard | (s["fill"] + pvalid.sum() * n_ch > cap)
 
                 # The iteration runs STRAIGHT-LINE with the guard applied by
                 # predication: every scatter redirects to the sentinel row
@@ -2096,13 +2118,20 @@ class SamplingTree:
         # ~295k+ queries, far above); the 3D grid path at C > 32 is instead
         # MEMORY-bound by the blocked/dilated gather temp — the host path
         # only doubles its chunk when C <= 32, and the loop mirrors that.
-        # A truly pathological budget (>32 blocks/iteration) still disables
-        # the device path (sticky — the ramp bound only grows).
+        # Budgets beyond 2 blocks/iteration disable the device path
+        # (sticky — the ramp bound only grows) and run host epochs instead.
+        # Empirical bound, not a tuning choice: with the while-loop ring
+        # rescue in the epoch core, loop programs whose per-iteration
+        # lax.map runs 8 or 16 blocks crashed the TPU worker
+        # deterministically at 2M points (the same 16-block shape ran
+        # clean BEFORE the ring tail became a while_loop, and 2-block
+        # shapes run clean with it — a nested-while-inside-long-map
+        # runtime fault is the best available theory).
         safe = 2 * _EPOCH_CHUNK[d]
         g = getattr(self._knn, "_grid", None)
         if d == 3 and g is not None and g.get("C", 64) > 32:
             safe = _EPOCH_CHUNK[d]
-        if k_sel * n_ch > 32 * safe:
+        if k_sel * n_ch > 2 * safe:
             logger.info("Device adaptive loop disabled: per-iteration "
                         f"budget bound {k_sel} exceeds the worker-safe "
                         "epoch size by more than the chunkable margin.")
@@ -2136,7 +2165,18 @@ class SamplingTree:
                     // max(self._cells_per_iter * (n_ch - 1), 1))
             iters_w = min(iters_w,
                           max(8, 1 << int(est + 1).bit_length()))
-        need = self._n_cells + iters_w * k_sel * n_ch + 1
+            growth = iters_w * k_sel * n_ch
+        else:
+            # metric mode: the iteration count is data-dependent, so size
+            # the state to EXPECTED growth (8x the current cells, floored
+            # at a few worst-case iterations) instead of the worst case —
+            # the in-loop fill guard exits the window if the estimate is
+            # exceeded and the re-entry resizes.  Every per-iteration cost
+            # scales with cap (the mdl bench paid 524k-row sorts for a
+            # 9k-cell grid).
+            growth = min(iters_w * k_sel * n_ch,
+                         max(8 * self._n_cells, 8 * k_sel * n_ch))
+        need = self._n_cells + growth + 1
         cap = max(4096, 1 << (need - 1).bit_length())
         n0 = self._n_cells
         cache = getattr(self, "_dev_state", None)
@@ -2750,7 +2790,15 @@ class SamplingTree:
             # per-level path costs 0.29 s, and its loop program is by far
             # the most expensive compile in the engine; the geometry
             # phase has too few levels to amortize either.
-            dev_ok = not huge and not self._max_delta_level
+            # max_delta_level is routed to the host per-level path by
+            # default on a measured tradeoff (0.86 s in-loop vs 0.29 s
+            # host, round 4) — but that measurement predates the tight
+            # metric-mode cap sizing (the in-loop expansion's per-level
+            # sorts scale with cap); S3_TPU_GEO_LOOP_MDL=1 re-enables the
+            # in-loop route for re-measurement
+            dev_ok = not huge and (
+                not self._max_delta_level
+                or os.environ.get("S3_TPU_GEO_LOOP_MDL", "0") == "1")
             while gmax > gmin:
                 # device-resident level loop: the per-level host path below
                 # costs one tunnel round trip per level; the loop runs up to

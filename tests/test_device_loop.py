@@ -64,6 +64,24 @@ def test_device_loop_matches_host_loop(monkeypatch, kwargs):
                                rtol=1e-5)
 
 
+def test_device_loop_sort_selection_branch(monkeypatch):
+    """Large per-iteration budgets (k_max > 2048) route the in-loop gain
+    selection through the stable-sort branch instead of lax.top_k (a
+    large-k top_k crashed the TPU worker at scale); the selection must be
+    bitwise-identical — same grid, iterations, metric series."""
+    kwargs = {"n_cells_max": 6000, "n_cells_iter_start": 2500}
+    a = _run(monkeypatch, device_loop=False, **kwargs)
+    b = _run(monkeypatch, device_loop=True, **kwargs)
+    ca, la = _grid_key(a)
+    cb, lb = _grid_key(b)
+    assert ca.shape == cb.shape
+    np.testing.assert_allclose(ca, cb)
+    np.testing.assert_array_equal(la, lb)
+    # the loop must actually have engaged with the big budget
+    stats = b.data_final_mesh["epoch_stats"]
+    assert stats["n_calls_main"] <= b.data_final_mesh["iterations"]
+
+
 @pytest.mark.parametrize("kwargs", [
     {"n_cells_max": 2000},
     {"n_cells_max": 2000, "max_delta_level": True},
