@@ -625,16 +625,14 @@ class SamplingTree:
         # the rescue pass — it costs ~4.6 ms/iter even when never taken —
         # and enables it (rebuilding the kernels) the first time bad cells
         # force a host escalation; "1" = always on, "0" = never.
-        # In "auto", an OBSTACLE geometry (keep_inside=False) arms it
-        # PREEMPTIVELY: the obstacle's interior is a point-cloud void, so
-        # surface-band cells are guaranteed to fail every ring margin —
-        # without pre-arming, such runs always paid one device-loop exit +
-        # kernel rebuild just to flip the flag (measured on the STL bench:
-        # the first escalation cost 3 host ring calls and a window restart).
-        mode = os.environ.get("S3_TPU_FULL_RESCUE", "auto")
-        self._rescue_active = (mode == "1") or (
-            mode == "auto"
-            and any(not g.keep_inside for g in geometry_obj))
+        # (A round-5 experiment pre-armed it for obstacle geometries; the
+        # round-4 ledgers showed the sphere/cylinder-obstacle workloads
+        # had ZERO escalations — the unbounded while-loop ring tail
+        # absorbs every ring-answerable query in-kernel, which is what the
+        # STL workload's 585 escalated cells actually were — so pre-arming
+        # taxed three healthy workloads to save none.)
+        self._rescue_active = (
+            os.environ.get("S3_TPU_FULL_RESCUE", "auto") == "1")
         self._dev_state = None          # post-loop device arrays (re-entry)
         self._gm_stale = None           # (s0, s1) host gain/metric rows
         self._gm_src = None             # device (gain, metric, alive) source
@@ -2790,15 +2788,12 @@ class SamplingTree:
             # per-level path costs 0.29 s, and its loop program is by far
             # the most expensive compile in the engine; the geometry
             # phase has too few levels to amortize either.
-            # max_delta_level is routed to the host per-level path by
-            # default on a measured tradeoff (0.86 s in-loop vs 0.29 s
-            # host, round 4) — but that measurement predates the tight
-            # metric-mode cap sizing (the in-loop expansion's per-level
-            # sorts scale with cap); S3_TPU_GEO_LOOP_MDL=1 re-enables the
-            # in-loop route for re-measurement
-            dev_ok = not huge and (
-                not self._max_delta_level
-                or os.environ.get("S3_TPU_GEO_LOOP_MDL", "0") == "1")
+            # max_delta_level is routed to the host per-level path: the
+            # device geometry loop carries NO 2:1 expansion (the
+            # constraint needs each level's coarser-neighbor closure, and
+            # the measured in-loop cost of the expansion lost to the host
+            # walk at round-4 cap sizes: 0.86 s vs 0.29 s)
+            dev_ok = not huge and not self._max_delta_level
             while gmax > gmin:
                 # device-resident level loop: the per-level host path below
                 # costs one tunnel round trip per level; the loop runs up to
