@@ -72,6 +72,44 @@ def _lex_less(a: tuple, b: tuple):
     return lt
 
 
+# max bytes of the two-level lookup's segment gather; beyond it the
+# sequential binary search takes over (the gather is [Q, segment, d] — at
+# big caps and wide 3D frontiers it would reach GB scale)
+_LOOKUP_SEG_BYTES = 64e6
+
+
+def _lookup_eq_2level(keys: tuple, queries: tuple, cap: int):
+    """Exact-match lookup via a ROUTER + SEGMENT scan in O(1) kernels.
+
+    ``_bsearch_eq`` is ``n_steps`` SEQUENTIAL tiny gather/compare kernels —
+    pure dispatch overhead at the mdl loop's shapes (~14 steps × several
+    probes per iteration dominated its per-iteration device time).  This
+    variant picks each query's segment by comparing against a strided
+    router (one [Q, R] vectorized lex-compare), gathers the whole segment,
+    and matches in-register: 2-3 kernels regardless of cap.  Exactness is
+    identical — keys of ALIVE cells are unique, so an equal tuple appears
+    at most once.  Only used when the segment gather stays small (see
+    ``_LOOKUP_SEG_BYTES``)."""
+    n = keys[0].shape[0]
+    r = 1 << ((cap.bit_length() + 1) // 2)
+    seg = max(n // r, 1)
+    router = tuple(k[::seg][:r] for k in keys)                  # [r] each
+    # number of router entries <= query  (= 1 + last index with entry<=q)
+    le = ~_lex_less(tuple(q[:, None] for q in queries),
+                    tuple(k[None, :] for k in router))          # [Q, r]
+    seg_i = jnp.maximum(le.sum(axis=1, dtype=jnp.int32) - 1, 0)
+    idx = jnp.minimum(seg_i[:, None] * seg
+                      + jnp.arange(seg, dtype=jnp.int32)[None, :],
+                      n - 1)                                    # [Q, seg]
+    match = jnp.ones(idx.shape, bool)
+    for k, q in zip(keys, queries):
+        match &= k[idx] == q[:, None]
+    found = match.any(axis=1)
+    pos = jnp.take_along_axis(
+        idx, jnp.argmax(match, axis=1)[:, None], axis=1)[:, 0]
+    return pos, found
+
+
 def _bsearch_eq(keys: tuple, queries: tuple, n_steps: int):
     """Vectorized exact-match lookup of query tuples in lexicographically
     sorted key tuples (the device-side leaf lookup for the in-loop 2:1
@@ -106,7 +144,7 @@ def _bsearch_eq(keys: tuple, queries: tuple, n_steps: int):
 
 
 def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
-                nbdirs_i, rounds):
+                nbdirs_i, rounds, drop_seed_at=None):
     """In-program transitive 2:1 constraint expansion (reference
     ``_check_nb`` + ``_check_constraint``, s_cube.py:447-506), shared by
     the adaptive and geometry device-resident loops.
@@ -123,6 +161,13 @@ def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
     the host path's ``sorted(to_refine)`` after ``_expand_delta_level``.
 
     :param seed: ``[k_seed]`` initially selected rows (sentinel ``cap``)
+    :param drop_seed_at: geometry-refinement semantics — seed rows whose
+        level is ≥ this (traced scalar) are PROBED FROM but excluded from
+        the returned parents UNLESS some probe re-found them as a coarser
+        neighbor (the reference refines a constraint-found neighbor even
+        when it is itself a surface cell at the target level, but never
+        refines an at-target surface cell on its own account,
+        s_cube.py:826-848)
     :return: ``(parents [k_sel] ascending with sentinel cap,
         pvalid [k_sel], guard)``
     """
@@ -135,19 +180,40 @@ def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
         num_keys=d)
     skeys, srows = ops[:d], ops[d]
 
-    def probe(fr, shift_down):
+    def probe2(fr):
+        """BOTH constraint probes of a frontier — the level-1 coarser-
+        neighbor lookup and the level-2 invariant guard — batched into ONE
+        binary search: the search is ``bs_steps`` SEQUENTIAL tiny
+        gather/compare kernels (fixed dispatch overhead each), so running
+        the two probes as one doubled-width call halves the per-round
+        sequential chain (~40 % of the mdl loop's per-iteration device
+        time went to this chain)."""
         fc, fl = coords[fr], level[fr]
         nb = fc[:, None, :] + nbdirs_i[None]          # [w, nd, d]
         inb = ((nb >= 0) & (nb < (1 << fl)[:, None, None])).all(-1)
-        q_ok = ((fr != cap)[:, None] & inb & (fl[:, None] >= shift_down))
-        ql = fl[:, None] - shift_down
-        qc = nb >> shift_down
-        qk1 = jnp.where(q_ok, (ql << 22) | qc[..., 0], -1)
-        qs = (qk1.reshape(-1),
-              *(jnp.where(q_ok, qc[..., i], -1).reshape(-1)
-                for i in range(1, d)))
-        pos, found = _bsearch_eq(skeys, qs, bs_steps)
-        return jnp.where(found, srows[pos], cap), found
+
+        def keys_for(shift_down):
+            q_ok = ((fr != cap)[:, None] & inb
+                    & (fl[:, None] >= shift_down))
+            ql = fl[:, None] - shift_down
+            qc = nb >> shift_down
+            qk1 = jnp.where(q_ok, (ql << 22) | qc[..., 0], -1)
+            return (qk1.reshape(-1),
+                    *(jnp.where(q_ok, qc[..., i], -1).reshape(-1)
+                      for i in range(1, d)))
+
+        qs1, qs2 = keys_for(1), keys_for(2)
+        qs = tuple(jnp.concatenate([a, b]) for a, b in zip(qs1, qs2))
+        # two-level O(1)-kernel lookup when its segment gather is small;
+        # the sequential binary search beyond (big caps × wide frontiers)
+        seg_w = cap // (1 << ((int(cap).bit_length() + 1) // 2))
+        if qs[0].shape[0] * seg_w * (d + 1) * 4 <= _LOOKUP_SEG_BYTES:
+            pos, found = _lookup_eq_2level(skeys, qs, cap)
+        else:
+            pos, found = _bsearch_eq(skeys, qs, bs_steps)
+        m = qs1[0].shape[0]
+        orow = jnp.where(found[:m], srows[pos[:m]], cap)
+        return orow, found[m:]
 
     sel_mask = (jnp.zeros(cap + 1, jnp.bool_)
                 .at[seed].set(True).at[cap].set(False))
@@ -162,10 +228,11 @@ def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
     arange_i = jnp.arange(cap, dtype=jnp.int32)
     big = jnp.int32(cap)
     n_round = jnp.int32(0)
+    refound = jnp.zeros(cap + 1, jnp.bool_)
     for _ in range(rounds):
-        orow, _ = probe(fr, 1)
-        _, found2 = probe(fr, 2)
+        orow, found2 = probe2(fr)
         guard |= found2.any()           # invariant broken
+        refound = refound.at[orow.reshape(-1)].set(True).at[cap].set(False)
         before = sel_mask
         sel_mask = (sel_mask.at[orow.reshape(-1)].set(True)
                     .at[cap].set(False))
@@ -176,7 +243,14 @@ def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
     # adds in the final round leave unchecked frontiers
     guard |= n_round > 0
     guard |= sel_mask[:cap].sum() > k_sel
-    parents = jnp.sort(jnp.where(sel_mask[:cap], arange_i, big))[:k_sel]
+    out_mask = sel_mask[:cap]
+    if drop_seed_at is not None:
+        seed_mask0 = (jnp.zeros(cap + 1, jnp.bool_)
+                      .at[seed].set(True).at[cap].set(False))
+        out_mask = out_mask & ~(seed_mask0[:cap]
+                                & (level[:cap] >= drop_seed_at)
+                                & ~refound[:cap])
+    parents = jnp.sort(jnp.where(out_mask, arange_i, big))[:k_sel]
     pvalid = parents < cap
     return parents, pvalid, guard
 
@@ -2102,10 +2176,13 @@ class SamplingTree:
         n_ch = 2 ** d
         k_max = self._device_loop_kmax()
         # selection width: with the 2:1 constraint the expansion can add
-        # coarser neighbors on top of the budgeted top-k — give it 4x slack
-        # (overflow guard-exits to the host's general expansion)
+        # coarser neighbors on top of the budgeted top-k — give it 2x slack
+        # (overflow guard-exits to the host's general expansion, identical
+        # grids either way; measured expansions join far fewer rows than
+        # the budget itself, and every per-iteration epoch/readback term
+        # scales with k_sel)
         k_sel = (k_max if not self._max_delta_level
-                 else _bucket(4 * k_max, minimum=256))
+                 else _bucket(2 * k_max, minimum=256))
         # the in-loop epoch honors the per-call worker-safety caps the host
         # path enforces via _EPOCH_CHUNK: when the per-iteration budget
         # k_sel*2^d exceeds them, the loop body runs the epoch core over
@@ -2521,13 +2598,16 @@ class SamplingTree:
         surface refinement (reference ``s_cube.py:774-863``) runs as one
         ``lax.while_loop`` — per level: frontier filter, predicated split,
         fused (invalid, surface) geometry flags for the children, next
-        frontier.  ``max_delta_level`` runs are deliberately routed to the
-        host per-level path instead (see the ``dev_ok`` gate below): the
-        2:1 expansion needs a global sorted-key probe per level and the
-        measured in-loop cost (0.86 s) loses to the host walk (0.29 s).
-        The host previously paid one tunnel round trip per level (~40 ms
-        each; the whole phase is a handful of microsecond-scale kernels)."""
-        key = ("geo", cap, k_geo, id(g))
+        frontier.  With the 2:1 constraint on, each level additionally
+        runs the coarser-neighbor closure IN-PROGRAM via ``_mdl_expand``
+        (reference semantics: EVERY surface cell's coarser neighbors join
+        ``to_refine`` — including those of at-target surface cells, whose
+        own refinement is skipped — s_cube.py:826-848); overflow or a
+        broken invariant guard-exits to the host walk.  The host
+        previously paid one tunnel round trip per level (~40 ms each; the
+        whole phase is a handful of microsecond-scale kernels)."""
+        mdl = self._max_delta_level
+        key = ("geo", cap, k_geo, id(g), mdl)
         if key in self._device_loops:
             return self._device_loops[key]
         d = self._n_dimensions
@@ -2536,6 +2616,12 @@ class SamplingTree:
         lev_cap = min(self._DEVICE_LEVEL_CAP, 22)
         offsets_i = jnp.asarray(self._offsets, dtype=jnp.int32)
         check_cells = g.check_cells
+        nbdirs = np.stack(np.meshgrid(*([np.asarray([-1, 0, 1])] * d),
+                                      indexing="ij"), axis=-1).reshape(-1, d)
+        nbdirs_i = jnp.asarray(nbdirs[~(nbdirs == 0).all(axis=1)],
+                               dtype=jnp.int32)
+        bs_steps = int(cap).bit_length()
+        mdl_rounds = self._MDL_ROUNDS
 
         def loop_fn(state, gmax, lo32, offs32, w32):
             def cond(s):
@@ -2544,10 +2630,22 @@ class SamplingTree:
 
             def body(s):
                 fr = s["fr"]
-                to_mask = (fr != cap) & (s["level"][fr] < gmax)
-                parents = jnp.sort(jnp.where(to_mask, fr, cap))
-                pvalid = parents < cap
-                guard = jnp.bool_(False)
+                if not mdl:
+                    to_mask = (fr != cap) & (s["level"][fr] < gmax)
+                    parents = jnp.sort(jnp.where(to_mask, fr, cap))
+                    pvalid = parents < cap
+                    guard = jnp.bool_(False)
+                else:
+                    # coarser-neighbor closure of the WHOLE frontier;
+                    # at-target seeds are probed from but refined only if
+                    # some probe re-found them (drop_seed_at — the
+                    # frontier can hold adaptive-phase cells DEEPER than
+                    # gmax whose coarser neighbors sit exactly at gmax)
+                    seed = jnp.where(fr != cap, fr, cap)
+                    parents, pvalid, guard = _mdl_expand(
+                        s["coords"], s["level"], s["alive"], seed, cap,
+                        d, k_geo, bs_steps, nbdirs_i, mdl_rounds,
+                        drop_seed_at=gmax)
                 plevel = s["level"][parents]
                 guard = guard | (jnp.where(pvalid, plevel, 0).max() + 1
                                  > lev_cap)
@@ -2610,7 +2708,8 @@ class SamplingTree:
 
         mesh_key = (tuple(self._mesh.devices.shape)
                     if self._mesh is not None else ())
-        fn = cached_jit(("geoloop", cap, k_geo, L, lev_cap, d,
+        fn = cached_jit(("geoloop", cap, k_geo, L, lev_cap, d, mdl,
+                         mdl_rounds,
                          g.cache_key, mesh_key),
                         lambda: jax.jit(loop_fn))
         self._device_loops[key] = fn
@@ -2788,12 +2887,12 @@ class SamplingTree:
             # per-level path costs 0.29 s, and its loop program is by far
             # the most expensive compile in the engine; the geometry
             # phase has too few levels to amortize either.
-            # max_delta_level is routed to the host per-level path: the
-            # device geometry loop carries NO 2:1 expansion (the
-            # constraint needs each level's coarser-neighbor closure, and
-            # the measured in-loop cost of the expansion lost to the host
-            # walk at round-4 cap sizes: 0.86 s vs 0.29 s)
-            dev_ok = not huge and not self._max_delta_level
+            # (That round-4 measurement excluded max_delta_level; the
+            # in-loop 2:1 closure now runs via _mdl_expand with the
+            # two-level O(1)-kernel lookup and loop states sized to
+            # expected growth — the per-level expansion no longer pays
+            # cap-scaled sorts through a 524k-row state.)
+            dev_ok = not huge
             while gmax > gmin:
                 # device-resident level loop: the per-level host path below
                 # costs one tunnel round trip per level; the loop runs up to
