@@ -72,44 +72,6 @@ def _lex_less(a: tuple, b: tuple):
     return lt
 
 
-# max bytes of the two-level lookup's segment gather; beyond it the
-# sequential binary search takes over (the gather is [Q, segment, d] — at
-# big caps and wide 3D frontiers it would reach GB scale)
-_LOOKUP_SEG_BYTES = 64e6
-
-
-def _lookup_eq_2level(keys: tuple, queries: tuple, cap: int):
-    """Exact-match lookup via a ROUTER + SEGMENT scan in O(1) kernels.
-
-    ``_bsearch_eq`` is ``n_steps`` SEQUENTIAL tiny gather/compare kernels —
-    pure dispatch overhead at the mdl loop's shapes (~14 steps × several
-    probes per iteration dominated its per-iteration device time).  This
-    variant picks each query's segment by comparing against a strided
-    router (one [Q, R] vectorized lex-compare), gathers the whole segment,
-    and matches in-register: 2-3 kernels regardless of cap.  Exactness is
-    identical — keys of ALIVE cells are unique, so an equal tuple appears
-    at most once.  Only used when the segment gather stays small (see
-    ``_LOOKUP_SEG_BYTES``)."""
-    n = keys[0].shape[0]
-    r = 1 << ((cap.bit_length() + 1) // 2)
-    seg = max(n // r, 1)
-    router = tuple(k[::seg][:r] for k in keys)                  # [r] each
-    # number of router entries <= query  (= 1 + last index with entry<=q)
-    le = ~_lex_less(tuple(q[:, None] for q in queries),
-                    tuple(k[None, :] for k in router))          # [Q, r]
-    seg_i = jnp.maximum(le.sum(axis=1, dtype=jnp.int32) - 1, 0)
-    idx = jnp.minimum(seg_i[:, None] * seg
-                      + jnp.arange(seg, dtype=jnp.int32)[None, :],
-                      n - 1)                                    # [Q, seg]
-    match = jnp.ones(idx.shape, bool)
-    for k, q in zip(keys, queries):
-        match &= k[idx] == q[:, None]
-    found = match.any(axis=1)
-    pos = jnp.take_along_axis(
-        idx, jnp.argmax(match, axis=1)[:, None], axis=1)[:, 0]
-    return pos, found
-
-
 def _bsearch_eq(keys: tuple, queries: tuple, n_steps: int):
     """Vectorized exact-match lookup of query tuples in lexicographically
     sorted key tuples (the device-side leaf lookup for the in-loop 2:1
@@ -204,13 +166,11 @@ def _mdl_expand(coords, level, alive, seed, cap, d, k_sel, bs_steps,
 
         qs1, qs2 = keys_for(1), keys_for(2)
         qs = tuple(jnp.concatenate([a, b]) for a, b in zip(qs1, qs2))
-        # two-level O(1)-kernel lookup when its segment gather is small;
-        # the sequential binary search beyond (big caps × wide frontiers)
-        seg_w = cap // (1 << ((int(cap).bit_length() + 1) // 2))
-        if qs[0].shape[0] * seg_w * (d + 1) * 4 <= _LOOKUP_SEG_BYTES:
-            pos, found = _lookup_eq_2level(skeys, qs, cap)
-        else:
-            pos, found = _bsearch_eq(skeys, qs, bs_steps)
+        # (a vectorized two-level router+segment lookup was tried here —
+        # 2-3 kernels instead of the ~14-step sequential search — and
+        # measured WORSE warm on the mdl bench: adaptive 0.92 s vs
+        # 0.62 s; the binary search stays)
+        pos, found = _bsearch_eq(skeys, qs, bs_steps)
         m = qs1[0].shape[0]
         orow = jnp.where(found[:m], srows[pos[:m]], cap)
         return orow, found[m:]
@@ -2887,12 +2847,16 @@ class SamplingTree:
             # per-level path costs 0.29 s, and its loop program is by far
             # the most expensive compile in the engine; the geometry
             # phase has too few levels to amortize either.
-            # (That round-4 measurement excluded max_delta_level; the
-            # in-loop 2:1 closure now runs via _mdl_expand with the
-            # two-level O(1)-kernel lookup and loop states sized to
-            # expected growth — the per-level expansion no longer pays
-            # cap-scaled sorts through a 524k-row state.)
-            dev_ok = not huge
+            # max_delta_level stays on the host per-level path: the
+            # in-loop 2:1 closure EXISTS (the mdl branch of
+            # _build_geometry_loop, oracle-pinned; S3_TPU_GEO_MDL_LOOP=1
+            # enables it) but re-measured WORSE warm in round 5 too —
+            # 0.85 s vs the host walk's 0.24 s on the mdl bench (its
+            # per-level _mdl_expand pays a cap-wide key sort through the
+            # frontier-overflow-sized geometry state every level)
+            dev_ok = not huge and (
+                not self._max_delta_level
+                or os.environ.get("S3_TPU_GEO_MDL_LOOP", "0") == "1")
             while gmax > gmin:
                 # device-resident level loop: the per-level host path below
                 # costs one tunnel round trip per level; the loop runs up to

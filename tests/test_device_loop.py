@@ -64,6 +64,42 @@ def test_device_loop_matches_host_loop(monkeypatch, kwargs):
                                rtol=1e-5)
 
 
+def test_geometry_mdl_loop_matches_host(monkeypatch):
+    """The geometry device loop's in-program 2:1 closure
+    (S3_TPU_GEO_MDL_LOOP=1; off by default on a measured warm tradeoff)
+    must grow the identical grid as the host per-level walk — including
+    the at-target-seed semantics (an at-target surface cell refines only
+    when a probe re-found it as someone's coarser neighbor)."""
+    def run(geo_loop: bool):
+        monkeypatch.setattr(KNNIndex, "GRID_MIN_POINTS", 1000)
+        monkeypatch.setenv("S3_TPU_DEVICE_LOOP", "1")
+        monkeypatch.setenv("S3_TPU_GEO_MDL_LOOP", "1" if geo_loop else "0")
+        rng = np.random.default_rng(0)
+        xy = rng.uniform([0, 0], [1, 1], size=(9000, 2))
+        r = np.linalg.norm(xy - [0.3, 0.5], axis=1)
+        xy = xy[r > 0.05][:8000]
+        metric = np.exp(-((xy[:, 0] - .6) ** 2
+                          + (xy[:, 1] - .5) ** 2) / .05) + 0.01
+        tmp = tempfile.mkdtemp()
+        s3 = SparseSpatialSampling(
+            xy, metric,
+            [CubeGeometry("domain", True, [0, 0], [1, 1]),
+             SphereGeometry("hole", False, [0.3, 0.5], 0.05, refine=True,
+                            min_refinement_level=6)],
+            save_path=tmp, save_name="gmdl", uniform_levels=3,
+            n_cells_max=1500, max_delta_level=True)
+        s3.execute_grid_generation()
+        return s3
+
+    a = run(geo_loop=False)
+    b = run(geo_loop=True)
+    ca, la = _grid_key(a)
+    cb, lb = _grid_key(b)
+    assert ca.shape == cb.shape
+    np.testing.assert_allclose(ca, cb)
+    np.testing.assert_array_equal(la, lb)
+
+
 def test_device_loop_sort_selection_branch(monkeypatch):
     """Large per-iteration budgets (k_max > 2048) route the in-loop gain
     selection through the stable-sort branch instead of lax.top_k (a
