@@ -784,8 +784,34 @@ def main():
 
     from sparsespatialsampling_tpu import ExportData, write_svd_s_cube_to_file
 
-    t_warmup = warmup_tunnel()
-    rep.emit(t_warmup_s=round(t_warmup, 3))
+    # The tunnel's channel init can wedge a PROCESS indefinitely while a
+    # fresh process connects fine (observed: one process stuck >45 min as
+    # new ones came up in minutes).  If the warmup readback exceeds the
+    # deadline and budget remains, re-exec once or twice with the budget
+    # reduced by the wall already spent — the stuck thread dies with the
+    # exec, and a wedged-for-everyone tunnel just re-stalls until the
+    # watchdog force-emits as before.
+    import sys
+    warmup_done = threading.Event()
+    warmup_out = {}
+
+    def _warm():
+        warmup_out["t"] = warmup_tunnel()
+        warmup_done.set()
+
+    threading.Thread(target=_warm, daemon=True).start()
+    reexec = int(os.environ.get("S3_BENCH_REEXEC", "0"))
+    if (not warmup_done.wait(
+            timeout=min(150.0, max(60.0, rep.remaining() - 180.0)))
+            and reexec < 2 and rep.remaining() > 150.0):
+        rep.emit(warmup_stalled_reexec=reexec + 1)
+        os.environ["S3_BENCH_REEXEC"] = str(reexec + 1)
+        os.environ["S3_BENCH_BUDGET_S"] = str(max(60.0, rep.remaining()))
+        rep.cancel()
+        sys.stdout.flush()
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    warmup_done.wait()  # wedged beyond re-exec budget: block; watchdog rules
+    rep.emit(t_warmup_s=round(warmup_out["t"], 3), warmup_reexecs=reexec)
     xy, metric, poly = synthetic_oat15()
     tmp = tempfile.mkdtemp()
 
@@ -899,7 +925,11 @@ def main():
         large_runs = [run_large(tmp)]
         emit_large(rep, large_runs)
         while len(large_runs) < 2 and min(r[1] for r in large_runs) > 14.0:
-            if not repeat_budget_ok(rep, large_runs[-1][1]):
+            # the cold first run is dominated by per-process program loads
+            # (~45 s of dispatch at 2M shapes); a warm repeat measures
+            # ~0.4x of it, so the generic 1.3x repeat margin would skip
+            # the one run that shows steady-state at-scale throughput
+            if rep.remaining() < 0.5 * large_runs[-1][1] + 15.0:
                 rep.emit(large_repeat_skipped="budget")
                 break
             large_runs.append(run_large(tmp))
