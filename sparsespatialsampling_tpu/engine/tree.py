@@ -2204,13 +2204,18 @@ class SamplingTree:
         else:
             # metric mode: the iteration count is data-dependent, so size
             # the state to EXPECTED growth (8x the current cells, floored
-            # at a few worst-case iterations) instead of the worst case —
+            # at several worst-case iterations) instead of the worst case —
             # the in-loop fill guard exits the window if the estimate is
             # exceeded and the re-entry resizes.  Every per-iteration cost
             # scales with cap (the mdl bench paid 524k-row sorts for a
-            # 9k-cell grid).
+            # 9k-cell grid).  Plain metric runs get a 16x-iteration floor
+            # (the c2d stall workload's 135 iterations paid 3 fill-guard
+            # window restarts at 8x); mdl keeps 8x — its 2:1 expansion
+            # sorts the whole cap every iteration, so state size costs
+            # more than a restart.
+            floor = (8 if self._max_delta_level else 16) * k_sel * n_ch
             growth = min(iters_w * k_sel * n_ch,
-                         max(8 * self._n_cells, 8 * k_sel * n_ch))
+                         max(8 * self._n_cells, floor))
         need = self._n_cells + growth + 1
         cap = max(4096, 1 << (need - 1).bit_length())
         n0 = self._n_cells
