@@ -2195,6 +2195,12 @@ class SamplingTree:
         # (its ramp makes the iteration count data-dependent).  Pow2 so the
         # compiled loop variants stay O(log) over a whole run.
         iters_w = self._DEVICE_LOOP_ITERS
+        if self._n_cells_max is None and k_sel * n_ch <= 512:
+            # small-budget metric runs iterate MANY times (the c2d stall
+            # workload runs 135 iterations of ~64-cell selections); a
+            # 4x-longer window turns 3 window re-entries into none while
+            # the state stays a few MB
+            iters_w = 4 * self._DEVICE_LOOP_ITERS
         if self._n_cells_max is not None:
             est = -(-max(self._n_cells_max - self._n_cells, 1)
                     // max(self._cells_per_iter * (n_ch - 1), 1))
@@ -2213,9 +2219,17 @@ class SamplingTree:
             # window restarts at 8x); mdl keeps 8x — its 2:1 expansion
             # sorts the whole cap every iteration, so state size costs
             # more than a restart.
-            floor = (8 if self._max_delta_level else 16) * k_sel * n_ch
-            growth = min(iters_w * k_sel * n_ch,
-                         max(8 * self._n_cells, floor))
+            if k_sel * n_ch <= 512:
+                # small-budget runs: even the extended window's worst case
+                # is a few-MB state — cheaper than ANY fill-guard restart
+                # (the c2d stall workload paid 3 restarts under the
+                # expected-growth floor because its k_sel is only 64)
+                growth = iters_w * k_sel * n_ch
+            else:
+                floor = (8 if self._max_delta_level else 16) \
+                    * k_sel * n_ch
+                growth = min(iters_w * k_sel * n_ch,
+                             max(8 * self._n_cells, floor))
         need = self._n_cells + growth + 1
         cap = max(4096, 1 << (need - 1).bit_length())
         n0 = self._n_cells
